@@ -1,0 +1,20 @@
+"""Test configuration: force the CPU backend with 8 virtual devices.
+
+Multi-chip sharding logic is exercised on a virtual CPU mesh
+(XLA_FLAGS=--xla_force_host_platform_device_count=8), mirroring how the
+driver dry-runs the multi-chip path.  float64 is enabled so numeric
+ground-truth checks can run at full precision; library code is
+dtype-polymorphic and runs float32 on real TPUs.
+"""
+
+import os
+
+import jax
+
+# The environment's sitecustomize registers the TPU ('axon') platform at
+# interpreter startup; override to CPU before any backend is initialized.
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
