@@ -1,0 +1,144 @@
+"""Benchmark: full bundle-adjustment LM iterations per second on one chip.
+
+Measures the end-to-end hot path of the framework — one complete LM step
+(batched generic-model projection with warm starts, closed-form Jacobian
+blocks, Jacobi-PCG normal-equation solve, accept test) on a synthetic
+CentralGeneric mono problem sized like a real calibration run
+(~150k observations, 256 poses, 1k points, 16x16 grid ≈ 768 intrinsics
+ parameters + 2.6k pose/point parameters).
+
+The reference publishes no throughput numbers (BASELINE.md); its CPU BA
+on problems of this size runs on the order of ~1 LM iteration/s (f64,
+numeric 32-knot-perturbation intrinsics Jacobians per observation —
+reference: central_grid.h:188-245), which we use as the baseline anchor
+for vs_baseline.
+
+Prints exactly one JSON line.
+"""
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_LM_ITERS_PER_S = 1.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    import camera_calibration_tpu  # noqa: F401
+    from camera_calibration_tpu.ba import lm_pcg
+    from camera_calibration_tpu.ba.dataset import ObservationTable
+    from camera_calibration_tpu.ba.state import BAState
+    from camera_calibration_tpu.models import central_generic as cg
+    from camera_calibration_tpu.ops import se3
+
+    dtype = jnp.float32
+    rng = np.random.default_rng(0)
+    w, h, gres = 640, 480, 16
+    n_points, n_poses = 1024, 256
+
+    fx = fy = 0.85 * w
+    yy, xx = np.meshgrid(np.arange(gres), np.arange(gres), indexing="ij")
+    px = (xx - 1.0) / (gres - 3.0) * w
+    py = (yy - 1.0) / (gres - 3.0) * h
+    dirs = np.stack([(px - w / 2) / fx, (py - h / 2) / fy, np.ones_like(px, float)], -1)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    model = cg.CentralGenericModel(
+        grid=jnp.asarray(dirs, dtype),
+        width=w, height=h,
+        calibration_min_x=0, calibration_min_y=0,
+        calibration_max_x=w - 1, calibration_max_y=h - 1,
+    )
+
+    pts = np.stack(
+        [rng.uniform(-0.7, 0.7, n_points), rng.uniform(-0.5, 0.5, n_points),
+         rng.uniform(-0.02, 0.02, n_points)], -1)
+    rig_q = np.stack([
+        np.asarray(se3.quat_exp(jnp.asarray(rng.normal(0, 0.08, 3))))
+        for _ in range(n_poses)
+    ])
+    rig_t = np.stack([
+        [rng.uniform(-0.25, 0.25), rng.uniform(-0.25, 0.25), rng.uniform(1.6, 2.4)]
+        for _ in range(n_poses)
+    ])
+    state = BAState(
+        rig_q_global=jnp.asarray(rig_q, dtype),
+        rig_t_global=jnp.asarray(rig_t, dtype),
+        cam_q_rig=jnp.asarray([[1.0, 0, 0, 0]], dtype),
+        cam_t_rig=jnp.zeros((1, 3), dtype),
+        points=jnp.asarray(pts, dtype),
+        intrinsics=(model,),
+    )
+
+    # Generate exact observations on-device, in pose batches.
+    all_im, all_pt, all_px = [], [], []
+    proj = jax.jit(lambda xc: cg.project_points(model, xc, max_iterations=40))
+    for mi in range(n_poses):
+        x_cam = np.asarray(se3.quat_rotate(jnp.asarray(rig_q[mi]), jnp.asarray(pts))) + rig_t[mi]
+        pxs, _, valid = proj(jnp.asarray(x_cam, dtype))
+        pxs, valid = np.asarray(pxs), np.asarray(valid)
+        inside = valid & (pxs[:, 0] > 1) & (pxs[:, 0] < w - 1) & (pxs[:, 1] > 1) & (pxs[:, 1] < h - 1)
+        idx = np.nonzero(inside)[0]
+        all_im.append(np.full(idx.size, mi, np.int32))
+        all_pt.append(idx.astype(np.int32))
+        all_px.append(pxs[idx])
+    im = np.concatenate(all_im)
+    pt = np.concatenate(all_pt)
+    pxo = np.concatenate(all_px)
+    n = im.size
+    cap = ((n + 8191) // 8192) * 8192
+    seg = ObservationTable(
+        imageset=jnp.asarray(np.pad(im, (0, cap - n))),
+        camera=jnp.zeros(cap, jnp.int32),
+        point=jnp.asarray(np.pad(pt, (0, cap - n))),
+        pixel=jnp.asarray(np.pad(pxo, ((0, cap - n), (0, 0))), dtype),
+        valid=jnp.asarray(np.arange(cap) < n),
+    )
+    data = (seg,)
+
+    # Perturb so the solver does real work.
+    state = BAState(
+        rig_q_global=state.rig_q_global,
+        rig_t_global=state.rig_t_global + jnp.asarray(rng.normal(0, 0.003, rig_t.shape), dtype),
+        cam_q_rig=state.cam_q_rig,
+        cam_t_rig=state.cam_t_rig,
+        points=state.points + jnp.asarray(rng.normal(0, 0.003, pts.shape), dtype),
+        intrinsics=state.intrinsics,
+    )
+
+    options = lm_pcg.BAOptions(max_pcg_iterations=50, proj_iterations=8)
+    step = lm_pcg.make_lm_step(options)
+    warm = tuple(s.pixel for s in data)
+    lam = jnp.asarray(-1.0, dtype)
+
+    # Warm-up/compile.
+    out = step(state, warm, lam, data)
+    jax.block_until_ready(out)
+    state_c, warm_c, lam_c = out[0], out[1], out[2]
+
+    n_iters = 10
+    t0 = time.perf_counter()
+    s, wm, lm = state_c, warm_c, lam_c
+    for _ in range(n_iters):
+        s, wm, lm, *_rest = step(s, wm, lm, data)
+    jax.block_until_ready(s)
+    t1 = time.perf_counter()
+
+    iters_per_s = n_iters / (t1 - t0)
+    print(
+        json.dumps(
+            {
+                "metric": "ba_lm_iterations_per_s",
+                "value": round(iters_per_s, 3),
+                "unit": f"LM iter/s ({n} obs, {gres}x{gres} grid, 1 chip)",
+                "vs_baseline": round(iters_per_s / BASELINE_LM_ITERS_PER_S, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,173 @@
+"""Calibration dataset structures: features, imagesets, observation tables.
+
+Host-side containers mirror the reference's Dataset model (reference:
+applications/camera_calibration/src/camera_calibration/dataset.h:57-128):
+a ``Dataset`` holds per-camera image sizes, a list of imagesets (one time
+instant across the rig, with per-camera feature lists), and the known
+pattern geometries mapping feature id -> 2D position on the board.
+
+For the device, everything is flattened into a padded, static-shape
+``ObservationTable`` (SoA: imageset/camera/point indices + pixel), the
+TPU-native equivalent of the reference's SoA upload for the CUDA BA
+(cuda_joint_optimization.cuh:43).  Validity masks replace dynamic sizes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass
+class PointFeature:
+    """One detected feature (reference: dataset.h:57)."""
+
+    xy: np.ndarray  # (2,) pixel-corner convention
+    feature_id: int
+
+
+@dataclasses.dataclass
+class Imageset:
+    """Features of all cameras at one instant (reference: dataset.h:88)."""
+
+    features: list[list[PointFeature]]  # [camera][feature]
+    filenames: list[str] | None = None
+
+
+@dataclasses.dataclass
+class KnownGeometry:
+    """Pattern sheet geometry (reference: dataset.h:49)."""
+
+    cell_length_in_meters: float
+    feature_id_to_position: dict[int, tuple[float, float]]
+
+
+@dataclasses.dataclass
+class Dataset:
+    """Full calibration dataset (reference: dataset.h:128)."""
+
+    num_cameras: int
+    image_sizes: list[tuple[int, int]]  # (width, height) per camera
+    imagesets: list[Imageset] = dataclasses.field(default_factory=list)
+    known_geometries: list[KnownGeometry] = dataclasses.field(default_factory=list)
+
+    def feature_id_count(self) -> int:
+        m = -1
+        for g in self.known_geometries:
+            if g.feature_id_to_position:
+                m = max(m, max(g.feature_id_to_position.keys()))
+        for s in self.imagesets:
+            for feats in s.features:
+                for f in feats:
+                    m = max(m, f.feature_id)
+        return m + 1
+
+
+def _obs_dataclass(cls):
+    cls = dataclasses.dataclass(frozen=True)(cls)
+    fields = [f.name for f in dataclasses.fields(cls)]
+    jax.tree_util.register_dataclass(cls, data_fields=fields, meta_fields=[])
+    return cls
+
+
+@_obs_dataclass
+class ObservationTable:
+    """Padded SoA observation table for device-side BA."""
+
+    imageset: jnp.ndarray  # (N,) int32
+    camera: jnp.ndarray  # (N,) int32
+    point: jnp.ndarray  # (N,) int32 — index into the points array
+    pixel: jnp.ndarray  # (N, 2)
+    valid: jnp.ndarray  # (N,) bool
+
+    @property
+    def count(self):
+        return self.pixel.shape[0]
+
+
+def split_by_camera(obs: ObservationTable, segments) -> tuple:
+    """Split a camera-sorted table into per-camera tables (static slices).
+
+    The per-camera tuple is the pytree handed to the jitted BA step — each
+    leaf can then be sharded over a device mesh along the observation axis.
+    """
+    out = []
+    for s, c in segments:
+        out.append(
+            ObservationTable(
+                imageset=obs.imageset[s : s + c],
+                camera=obs.camera[s : s + c],
+                point=obs.point[s : s + c],
+                pixel=obs.pixel[s : s + c],
+                valid=obs.valid[s : s + c],
+            )
+        )
+    return tuple(out)
+
+
+def pad_table(obs: ObservationTable, multiple: int) -> ObservationTable:
+    """Pad a table's observation axis to a multiple (invalid rows)."""
+    n = obs.count
+    cap = ((n + multiple - 1) // multiple) * multiple
+    if cap == n:
+        return obs
+    pad = cap - n
+
+    def pad_arr(a, fill=0):
+        widths = [(0, pad)] + [(0, 0)] * (a.ndim - 1)
+        return jnp.pad(a, widths, constant_values=fill)
+
+    return ObservationTable(
+        imageset=pad_arr(obs.imageset),
+        camera=pad_arr(obs.camera),
+        point=pad_arr(obs.point),
+        pixel=pad_arr(obs.pixel),
+        valid=pad_arr(obs.valid, False),
+    )
+
+
+def build_observation_table(
+    dataset: Dataset,
+    feature_id_to_point_index: dict[int, int],
+    *,
+    pad_to: int | None = None,
+    dtype=jnp.float64,
+) -> ObservationTable:
+    """Flatten a Dataset into a padded ObservationTable.
+
+    feature_id_to_point_index: compacting map (reference:
+    ba_state.cc ComputeFeatureIdToPointsIndex).
+    """
+    ims, cams, pts, pix = [], [], [], []
+    for si, s in enumerate(dataset.imagesets):
+        for ci, feats in enumerate(s.features):
+            for f in feats:
+                if f.feature_id in feature_id_to_point_index:
+                    ims.append(si)
+                    cams.append(ci)
+                    pts.append(feature_id_to_point_index[f.feature_id])
+                    pix.append(np.asarray(f.xy, np.float64))
+    n = len(ims)
+    cap = pad_to or max(1, n)
+    assert n <= cap, f"pad_to={cap} < observation count {n}"
+
+    def pad_i(a):
+        out = np.zeros(cap, np.int32)
+        out[:n] = a
+        return jnp.asarray(out)
+
+    pixel = np.zeros((cap, 2), np.float64)
+    if n:
+        pixel[:n] = np.stack(pix)
+    valid = np.zeros(cap, bool)
+    valid[:n] = True
+    return ObservationTable(
+        imageset=pad_i(ims),
+        camera=pad_i(cams),
+        point=pad_i(pts),
+        pixel=jnp.asarray(pixel, dtype),
+        valid=jnp.asarray(valid),
+    )

@@ -1,0 +1,133 @@
+"""Bundle-adjustment state: a pure pytree over manifolds.
+
+Equivalent of the reference's BAState (reference: applications/
+camera_calibration/src/camera_calibration/bundle_adjustment/ba_state.h:46-97):
+rig poses per imageset, camera-in-rig extrinsics, 3D pattern points, and
+per-camera intrinsics models.  Convention (ba_state.h:65):
+``image_tr_global = camera_tr_rig ∘ rig_tr_global`` — a point in global
+(pattern) space maps to camera space as
+``x_cam = R_c (R_r x + t_r) + t_c``.
+
+Tangent layout mirrors the reference's variable ordering
+(joint_optimization.cc:44-225): 6 DoF per imageset pose, 6 per camera
+extrinsic, 3 per point, 2 per intrinsics-grid knot.  Tangents are pytrees
+(BATangent), never flattened — the PCG solver operates on pytrees.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from camera_calibration_tpu.models import central_generic as cg
+from camera_calibration_tpu.models.base import replace
+from camera_calibration_tpu.ops import manifolds, se3
+
+
+def _pytree(cls):
+    cls = dataclasses.dataclass(frozen=True)(cls)
+    fields = [f.name for f in dataclasses.fields(cls)]
+    jax.tree_util.register_dataclass(cls, data_fields=fields, meta_fields=[])
+    return cls
+
+
+@_pytree
+class BAState:
+    rig_q_global: jnp.ndarray  # (M, 4) wxyz
+    rig_t_global: jnp.ndarray  # (M, 3)
+    cam_q_rig: jnp.ndarray  # (C, 4)
+    cam_t_rig: jnp.ndarray  # (C, 3)
+    points: jnp.ndarray  # (P, 3)
+    intrinsics: tuple  # per-camera model pytrees (e.g. CentralGenericModel)
+
+
+@_pytree
+class BATangent:
+    rig: jnp.ndarray  # (M, 6) = (ω, δt)
+    cam: jnp.ndarray  # (C, 6)
+    points: jnp.ndarray  # (P, 3)
+    grids: tuple  # per camera: (Hg, Wg, 2) knot tangents
+
+
+def zero_tangent(state: BAState) -> BATangent:
+    return BATangent(
+        rig=jnp.zeros(state.rig_q_global.shape[:1] + (6,), state.rig_t_global.dtype),
+        cam=jnp.zeros(state.cam_q_rig.shape[:1] + (6,), state.cam_t_rig.dtype),
+        points=jnp.zeros_like(state.points),
+        grids=tuple(
+            jnp.zeros(m.grid.shape[:2] + (2,), m.grid.dtype)
+            for m in state.intrinsics
+        ),
+    )
+
+
+def retract(state: BAState, tangent: BATangent, scale=1.0) -> BAState:
+    """Apply a tangent update to every variable group.
+
+    Pose updates are left-multiplicative exp-map on rotations + additive
+    translations; grid knots use 2-DoF unit-direction retractions
+    (reference: joint_optimization.cc:172-214, central_grid.h:169-184).
+    """
+    rig_q, rig_t = se3.retract_pose(
+        state.rig_q_global, state.rig_t_global, scale * tangent.rig
+    )
+    cam_q, cam_t = se3.retract_pose(
+        state.cam_q_rig, state.cam_t_rig, scale * tangent.cam
+    )
+    intr = tuple(
+        replace(m, grid=manifolds.retract_direction(m.grid, scale * g))
+        for m, g in zip(state.intrinsics, tangent.grids)
+    )
+    return BAState(
+        rig_q_global=rig_q,
+        rig_t_global=rig_t,
+        cam_q_rig=cam_q,
+        cam_t_rig=cam_t,
+        points=state.points + scale * tangent.points,
+        intrinsics=intr,
+    )
+
+
+def fix_gauge_mask(state: BAState) -> BATangent:
+    """Multipliers that freeze the first camera's extrinsics (identity rig
+    anchor).  With a single camera the reference parameterizes no
+    camera_tr_rig at all (joint_optimization.cc:100-116); here we keep the
+    array but zero its tangent, which is equivalent.
+    """
+    cam_mask = jnp.ones(state.cam_q_rig.shape[:1] + (6,), state.cam_t_rig.dtype)
+    cam_mask = cam_mask.at[0].set(0.0)
+    return BATangent(
+        rig=jnp.ones(state.rig_q_global.shape[:1] + (6,), state.rig_t_global.dtype),
+        cam=cam_mask,
+        points=jnp.ones_like(state.points),
+        grids=tuple(
+            jnp.ones(m.grid.shape[:2] + (2,), m.grid.dtype)
+            for m in state.intrinsics
+        ),
+    )
+
+
+def transform_to_camera(state: BAState, imageset_idx, camera_idx, points):
+    """x_cam for observations: gather poses and apply the rig chain."""
+    rq = state.rig_q_global[imageset_idx]
+    rt = state.rig_t_global[imageset_idx]
+    cq = state.cam_q_rig[camera_idx]
+    ct = state.cam_t_rig[camera_idx]
+    x_rig = se3.quat_rotate(rq, points) + rt
+    return se3.quat_rotate(cq, x_rig) + ct, x_rig
+
+
+def scale_state(state: BAState, factor) -> BAState:
+    """Scale the metric scale of the reconstruction (reference:
+    ba_state.cc ScaleState): translations and points scale, rotations and
+    intrinsics don't."""
+    return BAState(
+        rig_q_global=state.rig_q_global,
+        rig_t_global=state.rig_t_global * factor,
+        cam_q_rig=state.cam_q_rig,
+        cam_t_rig=state.cam_t_rig * factor,
+        points=state.points * factor,
+        intrinsics=state.intrinsics,
+    )

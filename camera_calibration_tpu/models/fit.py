@@ -1,0 +1,167 @@
+"""Fitting camera models to dense per-pixel observation-direction images.
+
+Capability parity with the reference's FitToDenseModel for grid models
+(reference: applications/camera_calibration/src/camera_calibration/models/
+central_generic.cc:267-418): knots are seeded from the nearest valid dense
+pixel (ring search, then iterative neighbor extrapolation for holes), then
+all knots are refined by nonlinear least squares against subsampled
+directions with 2-DoF-per-knot manifold updates.
+
+Seeding is host-side NumPy (irregular hole-filling is control-flow heavy);
+refinement is the jitted matrix-free LM engine (ba/gn.py).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from camera_calibration_tpu.ba.gn import lm_solve
+from camera_calibration_tpu.models import central_generic as cg
+from camera_calibration_tpu.models.base import replace
+from camera_calibration_tpu.ops import bspline, manifolds
+
+
+def _seed_grid_from_dense(dense_dirs, valid, model):
+    """Initialize each knot direction from the dense direction image.
+
+    dense_dirs: (H, W, 3) np array; valid: (H, W) bool.
+    Mirrors the reference's nearest-valid-pixel ring search (r < 5) with
+    iterative neighbor extrapolation for the remaining holes
+    (central_generic.cc:267-341 semantics).
+    """
+    h, w = valid.shape
+    gh, gw = model.grid_height, model.grid_width
+    knot_px = np.asarray(cg.grid_point_pixels(model))
+    grid = np.zeros((gh, gw, 3), np.float64)
+    filled = np.zeros((gh, gw), bool)
+
+    vy, vx = np.nonzero(valid)
+    for gy in range(gh):
+        for gx in range(gw):
+            px = knot_px[gy, gx]
+            cx = int(np.clip(np.floor(px[0]), 0, w - 1))
+            cy = int(np.clip(np.floor(px[1]), 0, h - 1))
+            found = False
+            for r in range(5):
+                x0, x1 = max(0, cx - r), min(w - 1, cx + r)
+                y0, y1 = max(0, cy - r), min(h - 1, cy + r)
+                sub = valid[y0 : y1 + 1, x0 : x1 + 1]
+                if sub.any():
+                    yy, xx = np.nonzero(sub)
+                    d2 = (yy + y0 - cy) ** 2 + (xx + x0 - cx) ** 2
+                    i = np.argmin(d2)
+                    grid[gy, gx] = dense_dirs[yy[i] + y0, xx[i] + x0]
+                    filled[gy, gx] = True
+                    found = True
+                    break
+            if not found:
+                pass  # fill by extrapolation below
+    # Iterative neighbor-mean extrapolation for unfilled knots.
+    while not filled.all():
+        newly = np.zeros_like(filled)
+        acc = np.zeros((gh, gw, 3))
+        cnt = np.zeros((gh, gw))
+        for dy, dx in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+            shifted = np.roll(filled, (dy, dx), (0, 1))
+            vals = np.roll(grid, (dy, dx), (0, 1))
+            # zero out wrap-around
+            if dy == 1:
+                shifted[0, :] = False
+            elif dy == -1:
+                shifted[-1, :] = False
+            if dx == 1:
+                shifted[:, 0] = False
+            elif dx == -1:
+                shifted[:, -1] = False
+            m = shifted & ~filled
+            acc[m] += vals[m]
+            cnt[m] += 1
+        m = (cnt > 0) & ~filled
+        if not m.any():
+            # disconnected: fill remaining with forward axis
+            grid[~filled] = np.array([0.0, 0.0, 1.0])
+            filled[:] = True
+            break
+        grid[m] = acc[m] / cnt[m][:, None]
+        newly |= m
+        filled |= m
+    norms = np.linalg.norm(grid, axis=-1, keepdims=True)
+    return grid / np.maximum(norms, 1e-12)
+
+
+def fit_central_generic_to_dense(
+    dense_dirs,
+    valid,
+    grid_resolution,
+    *,
+    width=None,
+    height=None,
+    calibration_min_x=0,
+    calibration_min_y=0,
+    calibration_max_x=None,
+    calibration_max_y=None,
+    max_sample_count: int = 40000,
+    max_iterations: int = 30,
+    cg_iterations: int = 60,
+    dtype=jnp.float64,
+):
+    """Fit a CentralGenericModel to a dense (H, W, 3) direction image.
+
+    Returns the fitted model.  (reference: central_generic.cc:267-418)
+    """
+    dense_dirs = np.asarray(dense_dirs, np.float64)
+    valid = np.asarray(valid, bool)
+    h, w = valid.shape
+    width = w if width is None else width
+    height = h if height is None else height
+    if calibration_max_x is None:
+        calibration_max_x = width - 1
+    if calibration_max_y is None:
+        calibration_max_y = height - 1
+    gh, gw = grid_resolution if isinstance(grid_resolution, tuple) else (
+        grid_resolution,
+        grid_resolution,
+    )
+    model = cg.CentralGenericModel(
+        grid=jnp.zeros((gh, gw, 3), dtype),
+        width=int(width),
+        height=int(height),
+        calibration_min_x=int(calibration_min_x),
+        calibration_min_y=int(calibration_min_y),
+        calibration_max_x=int(calibration_max_x),
+        calibration_max_y=int(calibration_max_y),
+    )
+    grid0 = _seed_grid_from_dense(dense_dirs, valid, model)
+    model = replace(model, grid=jnp.asarray(grid0, dtype))
+
+    # Subsample valid pixels for the refinement.
+    vy, vx = np.nonzero(valid)
+    n_valid = vy.size
+    stride = max(1, n_valid // max_sample_count)
+    sel = np.arange(0, n_valid, stride)
+    px = np.stack([vx[sel] + 0.5, vy[sel] + 0.5], -1).astype(np.float64)
+    target = dense_dirs[vy[sel], vx[sel]]
+    target /= np.linalg.norm(target, axis=-1, keepdims=True)
+
+    gxy = cg.pixel_to_grid(model, jnp.asarray(px, dtype))
+    target = jnp.asarray(target, dtype)
+
+    def residual_fn(grid):
+        dirs = jax.vmap(lambda p: bspline.eval_surface(grid, p[0], p[1]))(gxy)
+        dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+        return (dirs - target).reshape(-1)
+
+    def retract_fn(grid, tangent):
+        return manifolds.retract_direction(grid, tangent)
+
+    result = lm_solve(
+        residual_fn,
+        retract_fn,
+        model.grid,
+        jnp.zeros((gh, gw, 2), dtype),
+        max_iterations=max_iterations,
+        cg_iterations=cg_iterations,
+    )
+    return replace(model, grid=result.state)
