@@ -47,6 +47,7 @@ from camera_calibration_tpu.ba.state import (
     retract,
     zero_tangent,
 )
+from camera_calibration_tpu.models import protocol
 from camera_calibration_tpu.ops import manifolds
 
 
@@ -82,7 +83,11 @@ def compute_blocks(data, state: BAState, warm_xy, options: BAOptions):
     new_warm = []
     for ci, seg in enumerate(data):
         model = state.intrinsics[ci]
-        frames = manifolds.direction_tangents(model.grid)
+        frames = (
+            manifolds.direction_tangents(model.grid)
+            if protocol.is_grid_model(model)
+            else None
+        )
         b, w = res.segment_blocks(
             model,
             state,
@@ -106,13 +111,11 @@ def apply_j(data, blocks, tangent: BATangent):
     outs = []
     for ci, seg in enumerate(data):
         b = blocks[ci]
-        gh, gw = tangent.grids[ci].shape[:2]
-        gflat = tangent.grids[ci].reshape(gh * gw, 2)
         s = (
             jnp.einsum("nik,nk->ni", b.j_rig, tangent.rig[seg.imageset])
             + jnp.einsum("nik,k->ni", b.j_cam, tangent.cam[ci])
             + jnp.einsum("nik,nk->ni", b.j_point, tangent.points[seg.point])
-            + jnp.einsum("niyxj,nyxj->ni", b.j_win, gflat[b.win_flat])
+            + res.intr_apply_j(b.intr, tangent.intr[ci])
         )
         outs.append(s)
     return outs
@@ -122,7 +125,7 @@ def apply_jtw(data, blocks, s_list, state: BAState) -> BATangent:
     """JᵀW·s: scatter-add per-observation contributions into the tangent."""
     t = zero_tangent(state)
     rig, cam, pts = t.rig, t.cam, t.points
-    grids = list(t.grids)
+    intr = list(t.intr)
     for ci, seg in enumerate(data):
         b = blocks[ci]
         ws = s_list[ci] * b.weight[:, None]  # (n, 2)
@@ -137,19 +140,15 @@ def apply_jtw(data, blocks, s_list, state: BAState) -> BATangent:
             seg.point,
             num_segments=pts.shape[0],
         )
-        gh, gw = grids[ci].shape[:2]
-        contrib = jnp.einsum("niyxj,ni->nyxj", b.j_win, ws).reshape(-1, 2)
-        idx = b.win_flat.reshape(-1)
-        gflat = jax.ops.segment_sum(contrib, idx, num_segments=gh * gw)
-        grids[ci] = grids[ci] + gflat.reshape(gh, gw, 2)
-    return BATangent(rig=rig, cam=cam, points=pts, grids=tuple(grids))
+        intr[ci] = intr[ci] + res.intr_apply_jtw(b.intr, ws, intr[ci])
+    return BATangent(rig=rig, cam=cam, points=pts, intr=tuple(intr))
 
 
 def jtwj_diag(data, blocks, state: BAState) -> BATangent:
     """diag(JᵀWJ) — the Jacobi preconditioner's diagonal."""
     t = zero_tangent(state)
     rig, cam, pts = t.rig, t.cam, t.points
-    grids = list(t.grids)
+    intr = list(t.intr)
     for ci, seg in enumerate(data):
         b = blocks[ci]
         w = b.weight[:, None]
@@ -164,14 +163,8 @@ def jtwj_diag(data, blocks, state: BAState) -> BATangent:
             seg.point,
             num_segments=pts.shape[0],
         )
-        gh, gw = grids[ci].shape[:2]
-        contrib = jnp.sum(b.j_win**2 * w[:, :, None, None, None], axis=1).reshape(
-            -1, 2
-        )
-        idx = b.win_flat.reshape(-1)
-        gflat = jax.ops.segment_sum(contrib, idx, num_segments=gh * gw)
-        grids[ci] = grids[ci] + gflat.reshape(gh, gw, 2)
-    return BATangent(rig=rig, cam=cam, points=pts, grids=tuple(grids))
+        intr[ci] = intr[ci] + res.intr_jtwj_diag(b.intr, b.weight, intr[ci])
+    return BATangent(rig=rig, cam=cam, points=pts, intr=tuple(intr))
 
 
 def _masked(tangent: BATangent, mask: BATangent) -> BATangent:

@@ -7,11 +7,16 @@ cost function (reference: applications/camera_calibration/src/
 camera_calibration/bundle_adjustment/joint_optimization.cc:308-449).
 
 Per-observation Jacobian *blocks* are computed in closed form:
-pose/point chains via small cross-product matrices, and the intrinsics-grid
-block via the implicit-function-theorem projection sensitivities
-(models/central_generic.py) — replacing the reference's numeric
-knot-perturbation loop (central_grid.h:188-245) and its sympy-generated
-pose Jacobians (joint_optimization_jacobians.h) with exact closed forms.
+pose/point chains via small cross-product matrices; the intrinsics block is
+
+- for grid models: sparse 4×4-window knot blocks from the
+  implicit-function-theorem projection sensitivities
+  (models/central_generic.py) — replacing the reference's numeric
+  knot-perturbation loop (central_grid.h:188-245);
+- for parametric models: dense (2, K) parameter blocks from forward-mode
+  AD of the closed-form projection — replacing the reference's
+  sympy-generated ProjectionJacobianWrtIntrinsics
+  (central_thin_prism_fisheye.h:103-…).
 
 Everything is batched; observations are sorted by camera so each camera's
 segment is a static slice (the TPU-native replacement for per-feature
@@ -27,6 +32,9 @@ import jax.numpy as jnp
 
 from camera_calibration_tpu.ba.state import BAState, transform_to_camera
 from camera_calibration_tpu.models import central_generic as cg
+from camera_calibration_tpu.models import parametric as pm
+from camera_calibration_tpu.models import protocol
+from camera_calibration_tpu.models.base import replace
 from camera_calibration_tpu.ops import losses, manifolds, se3
 
 
@@ -38,6 +46,21 @@ def _pytree(cls):
 
 
 @_pytree
+class GridIntr:
+    """Sparse intrinsics block for spline-grid models."""
+
+    j_win: jnp.ndarray  # (n, 2, 4, 4, 2) wrt window-knot tangents
+    win_flat: jnp.ndarray  # (n, 4, 4) int32 flat knot index gy*Wg+gx
+
+
+@_pytree
+class DenseIntr:
+    """Dense intrinsics block for parametric models."""
+
+    j_params: jnp.ndarray  # (n, 2, K)
+
+
+@_pytree
 class ObsBlocks:
     """Per-observation residuals + Jacobian blocks for one camera segment."""
 
@@ -45,8 +68,7 @@ class ObsBlocks:
     j_rig: jnp.ndarray  # (n, 2, 6)
     j_cam: jnp.ndarray  # (n, 2, 6)
     j_point: jnp.ndarray  # (n, 2, 3)
-    j_win: jnp.ndarray  # (n, 2, 4, 4, 2) wrt window-knot tangents
-    win_flat: jnp.ndarray  # (n, 4, 4) int32 flat knot index gy*Wg+gx
+    intr: object  # GridIntr | DenseIntr
     weight: jnp.ndarray  # (n,) Huber IRLS weight · validity
     valid: jnp.ndarray  # (n,) bool
     cost: jnp.ndarray  # (n,) robust cost (0 where invalid)
@@ -65,22 +87,50 @@ def _cross_matrix(v):
     )
 
 
-def project_segment(
-    model,
-    state: BAState,
-    imageset_idx,
-    camera_idx,
-    point_idx,
-    warm_xy,
-    max_iterations=10,
-):
-    """Project one camera segment's observations with warm starts."""
-    x = state.points[point_idx]
-    x_cam, _ = transform_to_camera(state, imageset_idx, camera_idx, x)
+def _grid_projection_blocks(model, x_cam, warm_xy, max_proj_iterations, frames):
+    """Grid-model projection + (px, valid, jac_xcam, GridIntr)."""
     px, g, pvalid = cg.project_points(
-        model, x_cam, init_xy=warm_xy, max_iterations=max_iterations
+        model, x_cam, init_xy=warm_xy, max_iterations=max_proj_iterations
     )
-    return px, g, pvalid
+    sens = cg.projection_sensitivities(model, g)
+    p = sens["pix_wrt_dir"]  # (n, 2, 3)
+
+    # d = x_cam/|x_cam|; A = P·(I − d dᵀ)/|x_cam|  — wrt x_cam
+    norm = jnp.linalg.norm(x_cam, axis=-1, keepdims=True)
+    d = x_cam / jnp.maximum(norm, 1e-18)
+    pd = jnp.einsum("nij,nj->ni", p, d)
+    a = (p - pd[..., None] * d[:, None, :]) / jnp.maximum(norm[..., None], 1e-18)
+
+    if frames is None:
+        frames = manifolds.direction_tangents(model.grid)
+    t1, t2 = frames
+    fr = jnp.stack([t1, t2], axis=-1)  # (Hg, Wg, 3, 2)
+    gw = model.grid.shape[1]
+    bx = sens["base_xy"][:, 0]
+    by = sens["base_xy"][:, 1]
+    off = jnp.arange(4, dtype=bx.dtype)
+    gx = bx[:, None, None] + off[None, None, :]
+    gy = by[:, None, None] + off[None, :, None]
+    win_flat = gy * gw + gx  # (n, 4, 4)
+    win_frames = fr.reshape(-1, 3, 2)[win_flat]  # (n,4,4,3,2)
+    j_win = -jnp.einsum(
+        "nyx,nic,nyxcj->niyxj", sens["weights"], sens["pn"], win_frames
+    )
+    return px, pvalid, a, GridIntr(j_win=j_win, win_flat=win_flat)
+
+
+def _parametric_projection_blocks(model, x_cam):
+    """Parametric projection + (px, valid, jac_xcam, DenseIntr) via AD."""
+    px, _, pvalid = pm.project_points(model, x_cam)
+
+    def f(params, xc):
+        m = replace(model, params=params)
+        out, _, _ = pm.project_points(m, xc[None])
+        return out[0]
+
+    jac_fn = jax.vmap(jax.jacfwd(f, argnums=(0, 1)), in_axes=(None, 0))
+    j_params, jac_xcam = jac_fn(model.params, x_cam)
+    return px, pvalid, jac_xcam, DenseIntr(j_params=j_params)
 
 
 def segment_blocks(
@@ -99,24 +149,20 @@ def segment_blocks(
 ):
     """Residuals + all Jacobian blocks for one camera's observations.
 
-    tangent_frames: optional precomputed (t1, t2) arrays of the model grid.
     Returns (ObsBlocks, new_warm_xy).
     """
     dtype = state.points.dtype
     x = state.points[point_idx]
     x_cam, x_rig = transform_to_camera(state, imageset_idx, camera_idx, x)
-    px, g, pvalid = cg.project_points(
-        model, x_cam, init_xy=warm_xy, max_iterations=max_proj_iterations
-    )
-    valid = obs_valid & pvalid
-    sens = cg.projection_sensitivities(model, g)
-    p = sens["pix_wrt_dir"]  # (n, 2, 3)
 
-    # d = x_cam/|x_cam|; A = P·(I − d dᵀ)/|x_cam|  — wrt x_cam
-    norm = jnp.linalg.norm(x_cam, axis=-1, keepdims=True)
-    d = x_cam / jnp.maximum(norm, 1e-18)
-    pd = jnp.einsum("nij,nj->ni", p, d)
-    a = (p - pd[..., None] * d[:, None, :]) / jnp.maximum(norm[..., None], 1e-18)
+    if protocol.is_grid_model(model):
+        px, pvalid, a, intr = _grid_projection_blocks(
+            model, x_cam, warm_xy, max_proj_iterations, tangent_frames
+        )
+    else:
+        px, pvalid, a, intr = _parametric_projection_blocks(model, x_cam)
+
+    valid = obs_valid & pvalid
 
     r_c = se3.quat_to_matrix(state.cam_q_rig[camera_idx])  # (n,3,3)
     r_r = se3.quat_to_matrix(state.rig_q_global[imageset_idx])
@@ -130,26 +176,6 @@ def segment_blocks(
     j_cam_rot = -jnp.einsum("nik,nkl->nil", a, _cross_matrix(v_c))
     j_cam = jnp.concatenate([j_cam_rot, a], axis=-1)
 
-    # Intrinsics-grid block: d pixel / d knot(iy,ix) tangent_j
-    #   = −w[iy,ix] · (pn @ T_knot[:, j])
-    if tangent_frames is None:
-        tangent_frames = manifolds.direction_tangents(model.grid)
-    t1, t2 = tangent_frames
-    frames = jnp.stack([t1, t2], axis=-1)  # (Hg, Wg, 3, 2)
-    gw = model.grid.shape[1]
-    bx = sens["base_xy"][:, 0]
-    by = sens["base_xy"][:, 1]
-    off = jnp.arange(4, dtype=bx.dtype)
-    gx = bx[:, None, None] + off[None, None, :]  # (n,4,4) x index
-    gy = by[:, None, None] + off[None, :, None]
-    win_flat = gy * gw + gx  # (n,4,4)
-    frames_flat = frames.reshape(-1, 3, 2)
-    win_frames = frames_flat[win_flat]  # (n,4,4,3,2)
-    pn = sens["pn"]  # (n,2,3)
-    j_win = -jnp.einsum(
-        "nyx,nic,nyxcj->niyxj", sens["weights"], pn, win_frames
-    )  # (n,2,4,4,2)
-
     r = px - measured_px
     r = jnp.where(valid[:, None], r, 0.0)
     sq = jnp.sum(r * r, axis=-1)
@@ -157,20 +183,59 @@ def segment_blocks(
     w = losses.huber_weight(sq, huber) * valid.astype(dtype)
     cost = losses.huber_cost(sq, huber) * valid.astype(dtype)
 
-    mask3 = valid[:, None, None]  # broadcasts over (n, 2, k) blocks
+    mask3 = valid[:, None, None]
+    if isinstance(intr, GridIntr):
+        intr = GridIntr(
+            j_win=jnp.where(valid[:, None, None, None, None], intr.j_win, 0.0),
+            win_flat=intr.win_flat,
+        )
+    else:
+        intr = DenseIntr(j_params=jnp.where(mask3, intr.j_params, 0.0))
+
     blocks = ObsBlocks(
         r=r,
         j_rig=jnp.where(mask3, j_rig, 0.0),
         j_cam=jnp.where(mask3, j_cam, 0.0),
         j_point=jnp.where(mask3, j_point, 0.0),
-        j_win=jnp.where(valid[:, None, None, None, None], j_win, 0.0),
-        win_flat=win_flat,
+        intr=intr,
         weight=w,
         valid=valid,
         cost=cost,
     )
     new_warm = jnp.where(pvalid[:, None], px, warm_xy)
     return blocks, new_warm
+
+
+def intr_apply_j(intr, tangent_intr):
+    """Intrinsics contribution to J·v: (n, 2)."""
+    if isinstance(intr, GridIntr):
+        gflat = tangent_intr.reshape(-1, 2)
+        return jnp.einsum("niyxj,nyxj->ni", intr.j_win, gflat[intr.win_flat])
+    return jnp.einsum("nik,k->ni", intr.j_params, tangent_intr)
+
+
+def intr_apply_jtw(intr, ws, tangent_shape_like):
+    """Intrinsics part of JᵀW·s, scattered into the tangent layout."""
+    if isinstance(intr, GridIntr):
+        gh, gw = tangent_shape_like.shape[:2]
+        contrib = jnp.einsum("niyxj,ni->nyxj", intr.j_win, ws).reshape(-1, 2)
+        idx = intr.win_flat.reshape(-1)
+        return jax.ops.segment_sum(contrib, idx, num_segments=gh * gw).reshape(
+            gh, gw, 2
+        )
+    return jnp.einsum("nik,ni->k", intr.j_params, ws)
+
+
+def intr_jtwj_diag(intr, w, tangent_shape_like):
+    """Intrinsics part of diag(JᵀWJ). w: (n,) IRLS weights."""
+    if isinstance(intr, GridIntr):
+        gh, gw = tangent_shape_like.shape[:2]
+        contrib = jnp.einsum("niyxj,n->nyxj", intr.j_win**2, w).reshape(-1, 2)
+        idx = intr.win_flat.reshape(-1)
+        return jax.ops.segment_sum(contrib, idx, num_segments=gh * gw).reshape(
+            gh, gw, 2
+        )
+    return jnp.einsum("nik,n->k", intr.j_params**2, w)
 
 
 def segment_cost(
@@ -193,7 +258,7 @@ def segment_cost(
     dtype = state.points.dtype
     x = state.points[point_idx]
     x_cam, _ = transform_to_camera(state, imageset_idx, camera_idx, x)
-    px, _, pvalid = cg.project_points(
+    px, _, pvalid = protocol.project_points(
         model, x_cam, init_xy=warm_xy, max_iterations=max_proj_iterations
     )
     valid = obs_valid & pvalid

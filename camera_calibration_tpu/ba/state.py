@@ -21,9 +21,8 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 
-from camera_calibration_tpu.models import central_generic as cg
-from camera_calibration_tpu.models.base import replace
-from camera_calibration_tpu.ops import manifolds, se3
+from camera_calibration_tpu.models import protocol
+from camera_calibration_tpu.ops import se3
 
 
 def _pytree(cls):
@@ -48,7 +47,7 @@ class BATangent:
     rig: jnp.ndarray  # (M, 6) = (ω, δt)
     cam: jnp.ndarray  # (C, 6)
     points: jnp.ndarray  # (P, 3)
-    grids: tuple  # per camera: (Hg, Wg, 2) knot tangents
+    intr: tuple  # per camera: knot-tangent field (grid) or param delta (dense)
 
 
 def zero_tangent(state: BAState) -> BATangent:
@@ -56,9 +55,8 @@ def zero_tangent(state: BAState) -> BATangent:
         rig=jnp.zeros(state.rig_q_global.shape[:1] + (6,), state.rig_t_global.dtype),
         cam=jnp.zeros(state.cam_q_rig.shape[:1] + (6,), state.cam_t_rig.dtype),
         points=jnp.zeros_like(state.points),
-        grids=tuple(
-            jnp.zeros(m.grid.shape[:2] + (2,), m.grid.dtype)
-            for m in state.intrinsics
+        intr=tuple(
+            protocol.intrinsics_tangent_zero(m) for m in state.intrinsics
         ),
     )
 
@@ -77,8 +75,8 @@ def retract(state: BAState, tangent: BATangent, scale=1.0) -> BAState:
         state.cam_q_rig, state.cam_t_rig, scale * tangent.cam
     )
     intr = tuple(
-        replace(m, grid=manifolds.retract_direction(m.grid, scale * g))
-        for m, g in zip(state.intrinsics, tangent.grids)
+        protocol.intrinsics_retract(m, g, scale)
+        for m, g in zip(state.intrinsics, tangent.intr)
     )
     return BAState(
         rig_q_global=rig_q,
@@ -102,8 +100,8 @@ def fix_gauge_mask(state: BAState) -> BATangent:
         rig=jnp.ones(state.rig_q_global.shape[:1] + (6,), state.rig_t_global.dtype),
         cam=cam_mask,
         points=jnp.ones_like(state.points),
-        grids=tuple(
-            jnp.ones(m.grid.shape[:2] + (2,), m.grid.dtype)
+        intr=tuple(
+            jnp.ones_like(protocol.intrinsics_tangent_zero(m))
             for m in state.intrinsics
         ),
     )

@@ -1,0 +1,278 @@
+"""Calibration pipeline orchestration: pyramid BA, outliers, metric scale.
+
+The equivalent of the reference's Calibrate() flow (reference:
+applications/camera_calibration/src/camera_calibration/calibration.cc:918-1140):
+
+1. pyramid loop over grid resolutions (factor 1.333 per level,
+   calibration.cc:565-568): BA 10 iters @ threshold 1e-4 then 50 @ 1,
+   then upsample the grid model by resampling (calibration.cc:373-…);
+2. outlier phase: BA, then per-camera IQR-based outlier deletion
+   (Q3 + factor·IQR, calibration.cc:104-107);
+3. final BA (100 iters @ 1e-4);
+4. metric scaling from known pattern-cell lengths via the log-mean
+   neighbor-distance ratio (calibration.cc:307-370).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from camera_calibration_tpu.ba import lm_pcg
+from camera_calibration_tpu.ba.dataset import ObservationTable
+from camera_calibration_tpu.ba.state import BAState, scale_state, transform_to_camera
+from camera_calibration_tpu.models import central_generic as cg
+from camera_calibration_tpu.models import protocol
+from camera_calibration_tpu.models.fit import fit_central_generic_to_dense
+
+
+@dataclasses.dataclass
+class CalibrateOptions:
+    num_pyramid_levels: int = 3
+    approx_pixels_per_cell: int = 25
+    outlier_removal_factor: float = 8.0  # reference CLI default
+    final_iterations: int = 100
+    pyramid_iterations: tuple = (10, 50)
+    max_pcg_iterations: int = 50
+    huber_px: float = 1.0
+
+
+def compute_grid_resolution(calib_w, calib_h, approx_pixels_per_cell,
+                            exterior_cells_per_side=1):
+    """(reference: calibration.cc:531-541 ComputeGridResolution)"""
+    rx = int(calib_w / approx_pixels_per_cell + 0.5) + 2 * exterior_cells_per_side
+    ry = int(calib_h / approx_pixels_per_cell + 0.5) + 2 * exterior_cells_per_side
+    return rx, ry
+
+
+def grid_resolution_for_level(level, full_x, full_y):
+    """(reference: calibration.cc:565-568 CalcGridResolutionForLevel)"""
+    return (
+        int(full_x * math.pow(1.333, -level) + 0.5),
+        int(full_y * math.pow(1.333, -level) + 0.5),
+    )
+
+
+def resample_central_generic(model: cg.CentralGenericModel, new_resolution,
+                             samples_per_axis: int = 200):
+    """Resample a grid model to a new resolution.
+
+    Evaluates the old model's unprojection over the calibrated area and fits
+    a fresh grid (reference: calibration.cc:373-…, dense-model refit path).
+    """
+    w = model.calibration_max_x + 1 - model.calibration_min_x
+    h = model.calibration_max_y + 1 - model.calibration_min_y
+    sx = max(1, w // samples_per_axis)
+    sy = max(1, h // samples_per_axis)
+    xs = np.arange(model.calibration_min_x, model.calibration_max_x + 1, sx) + 0.5
+    ys = np.arange(model.calibration_min_y, model.calibration_max_y + 1, sy) + 0.5
+    xx, yy = np.meshgrid(xs, ys)
+    px = jnp.asarray(np.stack([xx, yy], -1).reshape(-1, 2), model.grid.dtype)
+    dirs, valid = cg.unproject(model, px)
+    dense = np.asarray(dirs).reshape(len(ys), len(xs), 3)
+    vmask = np.asarray(valid).reshape(len(ys), len(xs))
+
+    # Fit in the subsampled pixel space, then rewrap with original bounds.
+    sub = fit_central_generic_to_dense(
+        dense,
+        vmask,
+        (new_resolution[1], new_resolution[0]),
+        width=len(xs),
+        height=len(ys),
+        calibration_min_x=0,
+        calibration_min_y=0,
+        calibration_max_x=len(xs) - 1,
+        calibration_max_y=len(ys) - 1,
+        max_iterations=20,
+        dtype=model.grid.dtype,
+    )
+    return cg.CentralGenericModel(
+        grid=sub.grid,
+        width=model.width,
+        height=model.height,
+        calibration_min_x=model.calibration_min_x,
+        calibration_min_y=model.calibration_min_y,
+        calibration_max_x=model.calibration_max_x,
+        calibration_max_y=model.calibration_max_y,
+    )
+
+
+def observation_reprojection_errors(state: BAState, data):
+    """Per-camera arrays of reprojection error magnitudes (inf = invalid)."""
+    errs = []
+    for ci, seg in enumerate(data):
+        x_cam, _ = transform_to_camera(
+            state, seg.imageset, seg.camera, state.points[seg.point]
+        )
+        px, _, pvalid = protocol.project_points(
+            state.intrinsics[ci], x_cam, init_xy=seg.pixel, max_iterations=30
+        )
+        e = jnp.linalg.norm(px - seg.pixel, axis=-1)
+        errs.append(jnp.where(pvalid & seg.valid, e, jnp.inf))
+    return errs
+
+
+def delete_outlier_features(state: BAState, data, factor: float):
+    """Invalidate observations beyond Q3 + factor·IQR, per camera.
+
+    (reference: calibration.cc:62-120 DeleteOutlierFeatures)
+    Returns (new data, number removed).
+    """
+    errs = observation_reprojection_errors(state, data)
+    new_data = []
+    removed = 0
+    for seg, e in zip(data, errs):
+        e_np = np.asarray(e)
+        finite = np.isfinite(e_np) & np.asarray(seg.valid)
+        if finite.sum() < 8:  # reference's arbitrary minimum
+            new_data.append(seg)
+            continue
+        vals = np.sort(e_np[finite])
+        q1 = vals[min(len(vals) - 1, int(0.25 * len(vals) + 0.5))]
+        q3 = vals[min(len(vals) - 1, int(0.75 * len(vals) + 0.5))]
+        thresh = q3 + factor * (q3 - q1)
+        keep = finite & (e_np <= thresh)
+        removed += int(finite.sum() - keep.sum())
+        new_data.append(
+            ObservationTable(
+                imageset=seg.imageset,
+                camera=seg.camera,
+                point=seg.point,
+                pixel=seg.pixel,
+                valid=jnp.asarray(keep),
+            )
+        )
+    return tuple(new_data), removed
+
+
+def scale_to_metric(state: BAState, known_geometries, feature_id_to_point_index):
+    """Metric scale from known pattern-cell lengths.
+
+    (reference: calibration.cc:307-370 ScaleToMetric) — log-mean of
+    ideal/actual distances of axis-aligned neighbor corners.
+    """
+    pts = np.asarray(state.points)
+    log_sum = 0.0
+    count = 0
+    for geom in known_geometries:
+        pos_to_index = {}
+        for fid, pos in geom.feature_id_to_position.items():
+            if fid in feature_id_to_point_index:
+                pos_to_index[tuple(pos)] = feature_id_to_point_index[fid]
+        for pos, idx in pos_to_index.items():
+            for dx, dy in ((1, 0), (0, 1)):
+                nb = (pos[0] + dx, pos[1] + dy)
+                if nb not in pos_to_index:
+                    continue
+                actual = np.linalg.norm(pts[idx] - pts[pos_to_index[nb]])
+                if actual <= 0:
+                    continue
+                log_sum += math.log(geom.cell_length_in_meters / actual)
+                count += 1
+    if count == 0:
+        return state, 1.0
+    factor = math.exp(log_sum / count)
+    return scale_state(state, factor), factor
+
+
+def run_ba(state, data, max_iterations, cost_reduction_threshold, options,
+           callback=None):
+    ba_opts = lm_pcg.BAOptions(
+        max_lm_iterations=max_iterations,
+        max_pcg_iterations=options.max_pcg_iterations,
+        huber_px=options.huber_px,
+        cost_reduction_threshold=cost_reduction_threshold,
+    )
+    return lm_pcg.optimize(state, None, None, ba_opts, data=data,
+                           callback=callback)
+
+
+def calibrate(
+    state: BAState,
+    data,
+    options: CalibrateOptions = CalibrateOptions(),
+    *,
+    known_geometries=None,
+    feature_id_to_point_index=None,
+    log=print,
+):
+    """Full calibration from an initialized state.
+
+    state.intrinsics must already be at the *coarsest* pyramid resolution
+    (use init_state_for_pyramid); data = per-camera observation tables.
+    Returns (state, report dict).
+    """
+    report = {"pyramid": [], "outliers_removed": 0, "scale_factor": 1.0}
+
+    grid_cameras = [
+        ci for ci, m in enumerate(state.intrinsics) if protocol.is_grid_model(m)
+    ]
+    full_res = {}
+    for ci in grid_cameras:
+        m = state.intrinsics[ci]
+        full_res[ci] = compute_grid_resolution(
+            m.calibration_max_x + 1 - m.calibration_min_x,
+            m.calibration_max_y + 1 - m.calibration_min_y,
+            options.approx_pixels_per_cell,
+        )
+
+    for level in range(options.num_pyramid_levels - 1, 0, -1):
+        log(f"[calibrate] pyramid level {level}")
+        state, info1 = run_ba(
+            state, data, options.pyramid_iterations[0], 1e-4, options
+        )
+        state, info2 = run_ba(
+            state, data, options.pyramid_iterations[1], 1.0, options
+        )
+        report["pyramid"].append(
+            {"level": level, "cost": info2["final_cost"] or info1["final_cost"]}
+        )
+        # Upsample grid models to the next level's resolution.
+        new_intr = list(state.intrinsics)
+        for ci in grid_cameras:
+            rx, ry = grid_resolution_for_level(level - 1, *full_res[ci])
+            new_intr[ci] = resample_central_generic(state.intrinsics[ci], (rx, ry))
+        state = BAState(
+            rig_q_global=state.rig_q_global,
+            rig_t_global=state.rig_t_global,
+            cam_q_rig=state.cam_q_rig,
+            cam_t_rig=state.cam_t_rig,
+            points=state.points,
+            intrinsics=tuple(new_intr),
+        )
+
+    if options.outlier_removal_factor > 0:
+        iters = (
+            options.final_iterations
+            if options.num_pyramid_levels == 1
+            else options.pyramid_iterations[0]
+        )
+        state, _ = run_ba(state, data, iters, 1e-4, options)
+        data, removed = delete_outlier_features(
+            state, data, options.outlier_removal_factor
+        )
+        report["outliers_removed"] = removed
+        log(f"[calibrate] removed {removed} outlier observations")
+
+    state, info = run_ba(state, data, options.final_iterations, 1e-4, options)
+    report["final_cost"] = info["final_cost"]
+
+    if known_geometries and feature_id_to_point_index:
+        state, factor = scale_to_metric(
+            state, known_geometries, feature_id_to_point_index
+        )
+        report["scale_factor"] = factor
+        log(f"[calibrate] metric scale factor {factor:.6f}")
+
+    errs = observation_reprojection_errors(state, data)
+    all_err = np.concatenate([np.asarray(e) for e in errs])
+    all_err = all_err[np.isfinite(all_err)]
+    if all_err.size:
+        report["reprojection_error_median"] = float(np.median(all_err))
+        report["reprojection_error_average"] = float(np.mean(all_err))
+        report["reprojection_error_maximum"] = float(np.max(all_err))
+    return state, data, report

@@ -252,8 +252,8 @@ def unproject(model, pixels, max_iterations: int = 20):
     err = jnp.linalg.norm(distort_of_nxy(x) - target, axis=-1)
     valid = err < 1e-6
 
-    if isinstance(model, CentralThinPrismFisheyeModel) and model.use_equidistant_projection:
-        x = _fisheye_inverse(x)
+    # distort_of_nxy already includes the fisheye pre-step for TPF models,
+    # so x is directly the undistorted (x/z, y/z).
     d = jnp.concatenate([x, jnp.ones_like(x[..., :1])], axis=-1)
     d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
     return d, valid

@@ -1,0 +1,62 @@
+"""Functional dispatch over camera-model families.
+
+Replaces the reference's virtual CameraModel interface + IDENTIFY_CAMERA_MODEL
+macros (reference: models/camera_model.h:42, models/all_models.h:45-141)
+with isinstance dispatch over pytree model classes.  Two intrinsics
+families exist for optimization purposes:
+
+- *grid* models (CentralGeneric, NoncentralGeneric): intrinsics tangent is
+  a per-knot 2-DoF (or 5-DoF) field; Jacobians are sparse 4×4-window blocks.
+- *dense parametric* models (ThinPrismFisheye, OpenCV, Radial): intrinsics
+  tangent is the Euclidean parameter vector; Jacobians are dense (2, K).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from camera_calibration_tpu.models import central_generic as cg
+from camera_calibration_tpu.models import parametric as pm
+from camera_calibration_tpu.models.base import replace
+from camera_calibration_tpu.ops import manifolds
+
+GRID_MODELS = (cg.CentralGenericModel,)
+PARAMETRIC_MODELS = (
+    pm.CentralThinPrismFisheyeModel,
+    pm.CentralOpenCVModel,
+    pm.CentralRadialModel,
+)
+
+
+def is_grid_model(model) -> bool:
+    return isinstance(model, GRID_MODELS)
+
+
+def intrinsics_tangent_zero(model):
+    if is_grid_model(model):
+        return jnp.zeros(model.grid.shape[:2] + (2,), model.grid.dtype)
+    return jnp.zeros_like(model.params)
+
+
+def intrinsics_retract(model, tangent, scale=1.0):
+    if is_grid_model(model):
+        return replace(
+            model, grid=manifolds.retract_direction(model.grid, scale * tangent)
+        )
+    return replace(model, params=model.params + scale * tangent)
+
+
+def project_points(model, x_cam, init_xy=None, max_iterations=10):
+    """(pixels, aux, valid) for any model family."""
+    if is_grid_model(model):
+        return cg.project_points(
+            model, x_cam, init_xy=init_xy, max_iterations=max_iterations
+        )
+    return pm.project_points(model, x_cam)
+
+
+def unproject(model, pixels, max_iterations=20):
+    if is_grid_model(model):
+        return cg.unproject(model, pixels)
+    return pm.unproject(model, pixels, max_iterations=max_iterations)

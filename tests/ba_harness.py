@@ -13,7 +13,8 @@ import numpy as np
 from camera_calibration_tpu.ba.dataset import ObservationTable
 from camera_calibration_tpu.ba.state import BAState
 from camera_calibration_tpu.models import central_generic as cg
-from camera_calibration_tpu.models import pinhole
+from camera_calibration_tpu.models import parametric as pm
+from camera_calibration_tpu.models import pinhole, protocol
 from camera_calibration_tpu.models.fit import fit_central_generic_to_dense
 from camera_calibration_tpu.ops import manifolds, se3
 
@@ -39,10 +40,20 @@ def make_problem(
     h=48,
     grid_res=7,
     noise_px=0.0,
+    model_kind="grid",
 ):
     """Build GT state + exact observations (optionally with pixel noise)."""
     rng = np.random.default_rng(seed)
-    _, model = make_gt_model(w, h, grid_res)
+    if model_kind == "grid":
+        _, model = make_gt_model(w, h, grid_res)
+    elif model_kind == "tpf":
+        params = jnp.asarray(
+            [0.75 * w, 0.75 * w, 0.5 * w, 0.5 * h,
+             0.1, -0.2, 0.1, -0.02, 1e-4, -5e-5, 3e-5, -4e-5])
+        model = pm.CentralThinPrismFisheyeModel(
+            params=params, width=w, height=h, use_equidistant_projection=True)
+    else:
+        raise ValueError(model_kind)
 
     # Pattern points: a jittered plane at z=0 in global coords.
     pts = np.zeros((n_points, 3))
@@ -96,7 +107,7 @@ def make_problem(
                 )
                 + cam_t[ci]
             )
-            px, _, valid = cg.project_points(
+            px, _, valid = protocol.project_points(
                 state_gt.intrinsics[ci],
                 jnp.asarray(x_cam),
                 max_iterations=80,
@@ -152,11 +163,13 @@ def perturb_state(state_gt: BAState, seed=1, pose_rot=0.01, pose_t=0.01,
     )
     intr = []
     for model in state_gt.intrinsics:
-        gh, gw = model.grid.shape[:2]
-        tang = jnp.asarray(rng.normal(0, knot_sigma, (gh, gw, 2)))
-        from camera_calibration_tpu.models.base import replace
-
-        intr.append(replace(model, grid=manifolds.retract_direction(model.grid, tang)))
+        if protocol.is_grid_model(model):
+            gh, gw = model.grid.shape[:2]
+            tang = jnp.asarray(rng.normal(0, knot_sigma, (gh, gw, 2)))
+        else:
+            scale = np.maximum(np.abs(np.asarray(model.params)), 1.0)
+            tang = jnp.asarray(rng.normal(0, knot_sigma, model.params.shape) * scale)
+        intr.append(protocol.intrinsics_retract(model, tang))
     return BAState(
         rig_q_global=rig_q,
         rig_t_global=rig_t,
@@ -177,7 +190,7 @@ def reprojection_errors(state: BAState, obs, segments):
         pt = obs.point[s : s + c]
         cam = obs.camera[s : s + c]
         x_cam, _ = transform_to_camera(state, im, cam, state.points[pt])
-        px, _, valid = cg.project_points(
+        px, _, valid = protocol.project_points(
             state.intrinsics[ci], x_cam, init_xy=obs.pixel[s : s + c],
             max_iterations=50,
         )

@@ -42,3 +42,20 @@ def test_rig_ba_reconverges():
     state, info = lm_pcg.optimize(state0, obs, segments, options)
     err = np.asarray(ba_harness.reprojection_errors(state, obs, segments))
     assert np.median(err) < 1e-3, (np.median(err), info["final_cost"])
+
+
+def test_parametric_ba_reconverges():
+    """BA over a parametric (thin-prism-fisheye) intrinsics model."""
+    state_gt, obs, segments = ba_harness.make_problem(
+        seed=4, n_points=60, n_poses=12, model_kind="tpf"
+    )
+    state0 = ba_harness.perturb_state(state_gt, seed=5, knot_sigma=2e-4)
+    err0 = np.asarray(ba_harness.reprojection_errors(state0, obs, segments))
+    assert np.median(err0) > 0.05
+    options = lm_pcg.BAOptions(
+        max_lm_iterations=30, max_pcg_iterations=80,
+        cost_reduction_threshold=1e-8,
+    )
+    state, info = lm_pcg.optimize(state0, obs, segments, options)
+    err = np.asarray(ba_harness.reprojection_errors(state, obs, segments))
+    assert np.median(err) < 1e-3, (np.median(err), info["final_cost"])

@@ -1,0 +1,129 @@
+"""End-to-end calibration pipeline test: pyramid + outliers + metric scale.
+
+(reference flow analog: calibration.cc:918-1140)
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+import ba_harness
+from camera_calibration_tpu import calibrate as cal
+from camera_calibration_tpu.ba.dataset import KnownGeometry, ObservationTable, split_by_camera
+from camera_calibration_tpu.ba.state import BAState
+from camera_calibration_tpu.ops import se3
+
+
+def _grid_pattern_problem(seed=0, k=9, n_poses=10, w=64, h=48, cell=0.05):
+    """Synthetic problem whose points form a regular pattern grid."""
+    rng = np.random.default_rng(seed)
+    _, model = ba_harness.make_gt_model(w, h, grid_res=7)
+    cols, rows = np.meshgrid(np.arange(k), np.arange(k))
+    pts = np.stack(
+        [
+            (cols.ravel() - k / 2) * cell,
+            (rows.ravel() - k / 2) * cell,
+            np.zeros(k * k),
+        ],
+        -1,
+    )
+    geometry = KnownGeometry(
+        cell_length_in_meters=cell,
+        feature_id_to_position={
+            i: (int(cols.ravel()[i]), int(rows.ravel()[i])) for i in range(k * k)
+        },
+    )
+    fid_to_idx = {i: i for i in range(k * k)}
+
+    rig_q, rig_t = [], []
+    for _ in range(n_poses):
+        rig_q.append(np.asarray(se3.quat_exp(jnp.asarray(rng.normal(0, 0.1, 3)))))
+        rig_t.append(
+            [rng.uniform(-0.1, 0.1), rng.uniform(-0.1, 0.1), rng.uniform(0.5, 0.8)]
+        )
+    state_gt = BAState(
+        rig_q_global=jnp.asarray(np.stack(rig_q)),
+        rig_t_global=jnp.asarray(np.array(rig_t)),
+        cam_q_rig=jnp.asarray([[1.0, 0, 0, 0]]),
+        cam_t_rig=jnp.zeros((1, 3)),
+        points=jnp.asarray(pts),
+        intrinsics=(model,),
+    )
+
+    from camera_calibration_tpu.models import protocol
+
+    ims, ptids, pixels = [], [], []
+    for mi in range(n_poses):
+        x_cam = np.asarray(
+            se3.quat_rotate(jnp.asarray(rig_q[mi]), jnp.asarray(pts))
+        ) + np.array(rig_t[mi])
+        px, _, valid = protocol.project_points(
+            model, jnp.asarray(x_cam), max_iterations=80
+        )
+        px, valid = np.asarray(px), np.asarray(valid)
+        inside = valid & (px[:, 0] > 1) & (px[:, 0] < w - 1) & (px[:, 1] > 1) & (px[:, 1] < h - 1)
+        for pi in np.nonzero(inside)[0]:
+            ims.append(mi)
+            ptids.append(pi)
+            pixels.append(px[pi])
+    obs = ObservationTable(
+        imageset=jnp.asarray(np.array(ims, np.int32)),
+        camera=jnp.zeros(len(ims), jnp.int32),
+        point=jnp.asarray(np.array(ptids, np.int32)),
+        pixel=jnp.asarray(np.stack(pixels)),
+        valid=jnp.ones(len(ims), bool),
+    )
+    return state_gt, obs, ((0, len(ims)),), geometry, fid_to_idx
+
+
+def test_full_calibrate_pipeline():
+    state_gt, obs, segments, geometry, fid_to_idx = _grid_pattern_problem()
+    data = split_by_camera(obs, segments)
+
+    # Inject a few gross outliers into the measured pixels.
+    pix = np.asarray(data[0].pixel).copy()
+    n = pix.shape[0]
+    out_idx = np.arange(0, n, max(1, n // 12))[:10]
+    pix[out_idx] += 13.0
+    data = (
+        ObservationTable(
+            imageset=data[0].imageset,
+            camera=data[0].camera,
+            point=data[0].point,
+            pixel=jnp.asarray(pix),
+            valid=data[0].valid,
+        ),
+    )
+
+    # Initial state: coarse intrinsics + perturbed poses/points + wrong scale.
+    state0 = ba_harness.perturb_state(state_gt, seed=7, pose_rot=0.01,
+                                      pose_t=0.005, point_sigma=0.002,
+                                      knot_sigma=5e-4)
+    coarse = cal.resample_central_generic(state0.intrinsics[0], (5, 5))
+    state0 = BAState(
+        rig_q_global=state0.rig_q_global,
+        rig_t_global=state0.rig_t_global * 1.3,  # wrong metric scale
+        cam_q_rig=state0.cam_q_rig,
+        cam_t_rig=state0.cam_t_rig,
+        points=state0.points * 1.3,
+        intrinsics=(coarse,),
+    )
+
+    options = cal.CalibrateOptions(
+        num_pyramid_levels=2,
+        approx_pixels_per_cell=10,
+        outlier_removal_factor=3.0,
+        final_iterations=40,
+    )
+    state, data2, report = cal.calibrate(
+        state0,
+        data,
+        options,
+        known_geometries=[geometry],
+        feature_id_to_point_index=fid_to_idx,
+        log=lambda *a: None,
+    )
+
+    assert report["outliers_removed"] >= 8, report["outliers_removed"]
+    assert report["reprojection_error_median"] < 0.01, report
+    # metric scale recovered (1/1.3 ≈ 0.769)
+    assert abs(report["scale_factor"] - 1 / 1.3) < 0.02, report["scale_factor"]
