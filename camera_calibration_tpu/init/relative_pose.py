@@ -1,0 +1,304 @@
+"""Ramalingam-Sturm closed-form relative pose from collinearity constraints.
+
+Central camera + planar calibration target variant (Sec. 5.3 of
+S. Ramalingam's PhD thesis).  Capability parity with the reference
+(reference: applications/camera_calibration/src/camera_calibration/
+relative_pose_initialization/central_camera_planar_target.cc:34-498):
+
+Given three planar point clouds (z = 0) that are the *same pattern* seen
+at three unknown poses, where cloud triples with equal index are observed
+along the same camera ray, recovers the two poses mapping clouds 0 and 1
+into cloud 2's frame plus the camera's optical center (all in cloud 2's
+frame, up to the planar target's coordinate convention).
+
+Implementation notes vs the reference:
+- pure jnp, fixed-shape; rows can be zero-weighted, so RANSAC-style
+  batching via ``jax.vmap`` works (zero rows do not change null spaces);
+- the reference contains an apparent index typo ``R1(1,1)=u(11)``
+  (central_camera_planar_target.cc:441); by symmetry with R0 this should
+  be ``u(14)`` and is implemented correctly here;
+- the reference resolves the λ sign ambiguity by testing sample points;
+  we do the same with the first three triples.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _null_vector(a):
+    """Right-singular vector for the smallest singular value of a."""
+    _, _, vt = jnp.linalg.svd(a, full_matrices=True)
+    return vt[-1]
+
+
+def _min_norm_plus_null(a, b, rank):
+    """Solve a·u = b (rank-deficient): minimum-norm solution + null vectors.
+
+    Returns (u0, null_cols) with null_cols the trailing right-singular
+    vectors (columns beyond `rank`).  Algorithm A5.2 of Hartley-Zisserman.
+    """
+    u_svd, s, vt = jnp.linalg.svd(a, full_matrices=True)
+    b_prime = u_svd.T @ b
+    n = vt.shape[0]
+    y = jnp.zeros((n,), a.dtype)
+    safe_s = jnp.where(s > 1e-14, s, 1.0)
+    y = y.at[: s.shape[0]].set(
+        jnp.where(
+            jnp.arange(s.shape[0]) < rank, b_prime[: s.shape[0]] / safe_s, 0.0
+        )
+    )
+    u0 = vt.T @ y
+    null_cols = vt[rank:].T  # (n, n-rank)
+    return u0, null_cols
+
+
+def central_planar_relative_pose(clouds, weights=None):
+    """Recover poses from three aligned planar clouds.
+
+    clouds: (3, N, 2) pattern-plane coordinates (z=0 implicit); row i of
+    each cloud lies on one camera ray.  weights: (N,) 0/1 row mask.
+    Returns dict with:
+      r0, t0: cloud2_tr_cloud0 rotation (3,3) + translation (3,)
+      r1, t1: cloud2_tr_cloud1
+      optical_center: (3,) in cloud 2's (pattern) frame
+      ok: bool validity flag
+    """
+    clouds = jnp.asarray(clouds)
+    dtype = clouds.dtype
+    n = clouds.shape[1]
+    w = jnp.ones((n,), dtype) if weights is None else jnp.asarray(weights, dtype)
+
+    # Hartley normalization over all three clouds jointly
+    # (central_camera_planar_target.cc:45-76).
+    wsum = jnp.maximum(jnp.sum(w), 1e-12)
+    mean = jnp.sum(clouds * w[None, :, None], axis=(0, 1)) / (3 * wsum)
+    centered = clouds - mean
+    mean_dist = jnp.sum(jnp.linalg.norm(centered, axis=-1) * w[None, :]) / (
+        3 * wsum
+    )
+    norm_factor = jnp.sqrt(2.0) / jnp.maximum(mean_dist, 1e-12)
+    nc = centered * norm_factor
+
+    q = nc[2]  # (N,2) fixed cloud
+    qp = nc[0]
+    qpp = nc[1]
+    one = jnp.ones((n,), dtype)
+    zero = jnp.zeros((n,), dtype)
+
+    def c_matrix(qo):
+        """2N×9 coefficient matrix rows (cc:80-158)."""
+        r1 = jnp.stack(
+            [
+                q[:, 1] * qo[:, 0], q[:, 1] * qo[:, 1], q[:, 1],
+                qo[:, 0], qo[:, 1], one,
+                zero, zero, zero,
+            ],
+            axis=-1,
+        )
+        r2 = jnp.stack(
+            [
+                q[:, 0] * qo[:, 0], q[:, 0] * qo[:, 1], q[:, 0],
+                zero, zero, zero,
+                qo[:, 0], qo[:, 1], one,
+            ],
+            axis=-1,
+        )
+        rows = jnp.stack([r1, r2], axis=1).reshape(2 * n, 9)
+        return rows * jnp.repeat(w, 2)[:, None]
+
+    u_vec = _null_vector(c_matrix(qp))  # "U" (cc:160-163)
+    l_vec = _null_vector(c_matrix(qpp))  # "L" (cc:168-170)
+
+    # 12×14 motion-extraction system (cc:183-227).
+    a_mat = jnp.zeros((12, 14), dtype)
+    for i in range(3):
+        a_mat = a_mat.at[i, 1].set(-u_vec[i])
+        a_mat = a_mat.at[3 + i, 0].set(-u_vec[i])
+        a_mat = a_mat.at[6 + i, 1].set(-l_vec[i])
+        a_mat = a_mat.at[9 + i, 0].set(-l_vec[i])
+    for row, col in ((0, 6), (1, 7), (2, 3), (3, 4), (4, 5), (5, 2),
+                     (6, 12), (7, 13), (8, 9), (9, 10), (10, 11), (11, 8)):
+        a_mat = a_mat.at[row, col].set(1.0)
+    a_b = jnp.concatenate([u_vec[3:9], l_vec[3:9]])
+
+    sol_a, nulls = _min_norm_plus_null(a_mat, a_b, rank=12)
+    sol_b = nulls[:, 0]
+    sol_c = nulls[:, 1]
+
+    def a1(v, i):
+        return v[i - 1]
+
+    a_, b_, c_ = (
+        lambda i: a1(sol_a, i),
+        lambda i: a1(sol_b, i),
+        lambda i: a1(sol_c, i),
+    )
+
+    # 6×8 quadratic-constraint system (cc:252-320).
+    a8 = jnp.array(
+        [
+            [
+                a_(5) * b_(6) + b_(5) * a_(6) + a_(7) * b_(8) + b_(7) * a_(8),
+                a_(5) * c_(6) + c_(5) * a_(6) + a_(7) * c_(8) + c_(7) * a_(8),
+                b_(5) * c_(6) + c_(5) * b_(6) + b_(7) * c_(8) + c_(7) * b_(8),
+                b_(5) * b_(6) + b_(7) * b_(8),
+                c_(5) * c_(6) + c_(7) * c_(8),
+                u_vec[0] * u_vec[1],
+                0.0,
+                0.0,
+            ],
+            [
+                a_(11) * b_(12) + b_(11) * a_(12) + a_(13) * b_(14) + b_(13) * a_(14),
+                a_(11) * c_(12) + c_(11) * a_(12) + a_(13) * c_(14) + c_(13) * a_(14),
+                b_(11) * c_(12) + c_(11) * b_(12) + b_(13) * c_(14) + c_(13) * b_(14),
+                b_(11) * b_(12) + b_(13) * b_(14),
+                c_(11) * c_(12) + c_(13) * c_(14),
+                l_vec[0] * l_vec[1],
+                0.0,
+                0.0,
+            ],
+            [
+                2 * a_(5) * b_(5) + 2 * a_(7) * b_(7),
+                2 * a_(5) * c_(5) + 2 * a_(7) * c_(7),
+                2 * b_(5) * c_(5) + 2 * b_(7) * c_(7),
+                b_(5) * b_(5) + b_(7) * b_(7),
+                c_(5) * c_(5) + c_(7) * c_(7),
+                u_vec[0] * u_vec[0],
+                -1.0,
+                0.0,
+            ],
+            [
+                2 * a_(6) * b_(6) + 2 * a_(8) * b_(8),
+                2 * a_(6) * c_(6) + 2 * a_(8) * c_(8),
+                2 * b_(6) * c_(6) + 2 * b_(8) * c_(8),
+                b_(6) * b_(6) + b_(8) * b_(8),
+                c_(6) * c_(6) + c_(8) * c_(8),
+                u_vec[1] * u_vec[1],
+                -1.0,
+                0.0,
+            ],
+            [
+                2 * a_(11) * b_(11) + 2 * a_(13) * b_(13),
+                2 * a_(11) * c_(11) + 2 * a_(13) * c_(13),
+                2 * b_(11) * c_(11) + 2 * b_(13) * c_(13),
+                b_(11) * b_(11) + b_(13) * b_(13),
+                c_(11) * c_(11) + c_(13) * c_(13),
+                l_vec[0] * l_vec[0],
+                0.0,
+                -1.0,
+            ],
+            [
+                2 * a_(12) * b_(12) + 2 * a_(14) * b_(14),
+                2 * a_(12) * c_(12) + 2 * a_(14) * c_(14),
+                2 * b_(12) * c_(12) + 2 * b_(14) * c_(14),
+                b_(12) * b_(12) + b_(14) * b_(14),
+                c_(12) * c_(12) + c_(14) * c_(14),
+                l_vec[1] * l_vec[1],
+                0.0,
+                -1.0,
+            ],
+        ],
+        dtype,
+    )
+    b8 = jnp.array(
+        [
+            -a_(5) * a_(6) - a_(7) * a_(8),
+            -a_(11) * a_(12) - a_(13) * a_(14),
+            -a_(5) * a_(5) - a_(7) * a_(7),
+            -a_(6) * a_(6) - a_(8) * a_(8),
+            -a_(11) * a_(11) - a_(13) * a_(13),
+            -a_(12) * a_(12) - a_(14) * a_(14),
+        ],
+        dtype,
+    )
+    sol_d, _ = _min_norm_plus_null(a8, b8, rank=5)
+
+    solution_u = sol_a + sol_d[0] * sol_b + sol_d[1] * sol_c
+
+    def u(i):
+        return solution_u[i - 1]
+
+    # Optical center (cc:352-381), normalized frame.
+    ox = u(1)
+    oy = u(2)
+    denom_v = -u_vec[0] * u_vec[1]
+    denom_m = -l_vec[0] * l_vec[1]
+    temp_v = (u(5) * u(6) + u(7) * u(8)) / jnp.where(
+        jnp.abs(denom_v) > 1e-300, denom_v, 1.0
+    )
+    temp_m = (u(11) * u(12) + u(13) * u(14)) / jnp.where(
+        jnp.abs(denom_m) > 1e-300, denom_m, 1.0
+    )
+    use_v = jnp.abs(denom_v) > jnp.abs(denom_m)
+    temp = jnp.where(use_v, temp_v, temp_m)
+    ok = temp > -1e-3
+    oz = -jnp.sqrt(jnp.maximum(temp, 0.0))  # camera at negative z
+    o = jnp.stack([ox, oy, oz])
+
+    def extract_pose(u5, u6, u7, u8, row3a, row3b, u3, u4, u6_full, test_cloud):
+        """Pose from one λ branch with sign disambiguation (cc:390-447)."""
+
+        def pose_for(lam_sign):
+            lam = lam_sign * jnp.sqrt(
+                u5 * u5 + u7 * u7 + row3a * row3a * oz * oz
+            ) / oz
+            col0 = jnp.stack([u5 / (oz * lam), u7 / (oz * lam), row3a / lam])
+            col1 = jnp.stack([u6 / (oz * lam), u8 / (oz * lam), row3b / lam])
+            col2 = jnp.cross(col0, col1)
+            r = jnp.stack([col0, col1, col2], axis=-1)
+            tx = (u3 + ox * oz * lam) / (oz * lam)
+            ty = (u4 + oy * oz * lam) / (oz * lam)
+            tz = (oz * ty - u6_full / lam) / jnp.where(
+                jnp.abs(oy) > 1e-300, oy, 1.0
+            )
+            t = jnp.stack([tx, ty, tz])
+            return r, t
+
+        r_neg, t_neg = pose_for(-1.0)
+        r_pos, t_pos = pose_for(1.0)
+        # Same-side test with the first 3 points (cc:414-431).
+        p3 = jnp.concatenate(
+            [test_cloud[:3], jnp.zeros((3, 1), dtype)], axis=-1
+        )
+        ref3 = jnp.concatenate([q2_full[:3], jnp.zeros((3, 1), dtype)], axis=-1)
+        tp = p3 @ r_neg.T + t_neg
+        same = jnp.sum((tp - o) * (ref3 - o), axis=-1) > 0
+        use_neg = jnp.sum(same.astype(jnp.int32)) * 2 > 3
+        r = jnp.where(use_neg, r_neg, r_pos)
+        t = jnp.where(use_neg, t_neg, t_pos)
+        return r, t
+
+    q2_full = q
+    r0, t0 = extract_pose(
+        u(5), u(6), u(7), u(8), u_vec[0], u_vec[1], u(3), u(4), u_vec[5], qp
+    )
+    r1, t1 = extract_pose(
+        u(11), u(12), u(13), u(14), l_vec[0], l_vec[1], u(9), u(10), l_vec[5],
+        qpp,
+    )
+
+    # De-normalize: the solve ran on x' = norm_factor·(x − mean). A pose
+    # (R, t') in normalized coords maps to t = t'/norm_factor + mean −
+    # R·mean (rotation unchanged); the optical center scales the same way.
+    mean3 = jnp.concatenate([mean, jnp.zeros((1,), dtype)])
+
+    def denorm(r, t):
+        return r, t / norm_factor + mean3 - r @ mean3
+
+    r0, t0 = denorm(r0, t0)
+    r1, t1 = denorm(r1, t1)
+    o_out = o / norm_factor + mean3
+
+    ok = ok & jnp.all(jnp.isfinite(o_out)) & jnp.all(jnp.isfinite(t0)) & jnp.all(
+        jnp.isfinite(t1)
+    )
+    return {
+        "r0": r0,
+        "t0": t0,
+        "r1": r1,
+        "t1": t1,
+        "optical_center": o_out,
+        "ok": ok,
+    }

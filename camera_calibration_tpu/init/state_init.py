@@ -1,0 +1,193 @@
+"""BA-state construction from dense initialization.
+
+Equivalent of the reference's InitializeBAStateFromDenseInitialization
+(reference: applications/camera_calibration/src/camera_calibration/
+calibration.cc:779-916): fit the chosen camera model to each camera's
+dense observation-direction image, set rig poses from the per-camera
+image poses (camera_tr_rig via SE(3) averaging for rigs,
+calibration.cc:885-911), and seed pattern points at their known-geometry
+global positions.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from camera_calibration_tpu.ba.dataset import (
+    Dataset,
+    ObservationTable,
+    build_observation_table,
+)
+from camera_calibration_tpu.ba.state import BAState
+from camera_calibration_tpu.models.fit import fit_central_generic_to_dense
+from camera_calibration_tpu.ops import se3
+
+
+def fit_initial_model(result, grid_resolution, dtype=jnp.float64):
+    """Fit a CentralGenericModel to a DenseInitResult's direction image.
+
+    The dense buffer is upsampled to image coordinates via the model's
+    calibrated-area mapping (the buffer is a uniform downsample).
+    """
+    dirs, valid = result.observation_directions()
+    w, h = result.image_size
+    model = fit_central_generic_to_dense(
+        dirs,
+        valid,
+        grid_resolution,
+        width=result.buffer_size[0],
+        height=result.buffer_size[1],
+        max_iterations=25,
+        dtype=dtype,
+    )
+    # Rewrap with full-image bounds: grid coords map through the calibrated
+    # area, and the buffer covers the full image uniformly.
+    from camera_calibration_tpu.models import central_generic as cg
+
+    return cg.CentralGenericModel(
+        grid=model.grid,
+        width=w,
+        height=h,
+        calibration_min_x=0,
+        calibration_min_y=0,
+        calibration_max_x=w - 1,
+        calibration_max_y=h - 1,
+    )
+
+
+def feature_id_to_point_index(dataset: Dataset):
+    """Compacting map over feature ids present in known geometries.
+
+    (reference: ba_state.cc ComputeFeatureIdToPointsIndex)
+    """
+    ids = set()
+    for g in dataset.known_geometries:
+        ids.update(g.feature_id_to_position.keys())
+    return {fid: i for i, fid in enumerate(sorted(ids))}
+
+
+def initial_points(dataset: Dataset, fid_to_idx, geometry_poses):
+    """Global 3D seed positions of all pattern points."""
+    pts = np.zeros((len(fid_to_idx), 3))
+    for gi, g in enumerate(dataset.known_geometries):
+        pose = geometry_poses[gi]
+        if pose is None:
+            pose = (np.eye(3), np.zeros(3))
+        r, t = pose
+        for fid, pos in g.feature_id_to_position.items():
+            p = np.array(
+                [pos[0] * g.cell_length_in_meters,
+                 pos[1] * g.cell_length_in_meters, 0.0]
+            )
+            pts[fid_to_idx[fid]] = r @ p + t
+    return pts
+
+
+def build_ba_state(
+    dataset: Dataset,
+    dense_results,
+    grid_resolution,
+    dtype=jnp.float64,
+):
+    """(BAState, per-camera data tuple, fid_to_idx) from dense init results.
+
+    dense_results: list of DenseInitResult, one per camera (camera 0's
+    frame anchors the rig).
+    """
+    n_cameras = dataset.num_cameras
+    n_sets = len(dataset.imagesets)
+    fid_to_idx = feature_id_to_point_index(dataset)
+
+    # Rig poses: rig frame = camera 0. rig_tr_global[i] = image_tr_global[0][i].
+    used = [
+        all(
+            dense_results[c].image_tr_global[i] is not None
+            for c in range(n_cameras)
+        )
+        for i in range(n_sets)
+    ]
+    rig_q = np.tile(np.array([1.0, 0, 0, 0]), (n_sets, 1))
+    rig_t = np.zeros((n_sets, 3))
+    for i in range(n_sets):
+        if not used[i]:
+            continue
+        r, t = dense_results[0].image_tr_global[i]
+        rig_q[i] = np.asarray(se3.matrix_to_quat(jnp.asarray(r)))
+        rig_t[i] = t
+
+    # camera_tr_rig via SE(3) averaging (reference: calibration.cc:885-911).
+    cam_q = np.tile(np.array([1.0, 0, 0, 0]), (n_cameras, 1))
+    cam_t = np.zeros((n_cameras, 3))
+    for c in range(1, n_cameras):
+        qs, ts = [], []
+        for i in range(n_sets):
+            if not used[i]:
+                continue
+            r_c, t_c = dense_results[c].image_tr_global[i]
+            r_0, t_0 = dense_results[0].image_tr_global[i]
+            # camera_tr_rig = image_tr_global[c] ∘ (image_tr_global[0])⁻¹
+            r_rel = r_c @ r_0.T
+            t_rel = t_c - r_rel @ t_0
+            qs.append(np.asarray(se3.matrix_to_quat(jnp.asarray(r_rel))))
+            ts.append(t_rel)
+        if qs:
+            qa, ta = se3.average_se3(jnp.asarray(np.stack(qs)),
+                                     jnp.asarray(np.stack(ts)))
+            cam_q[c] = np.asarray(qa)
+            cam_t[c] = np.asarray(ta)
+
+    pts = initial_points(
+        dataset, fid_to_idx, dense_results[0].global_tr_known_geometry
+    )
+
+    intrinsics = tuple(
+        fit_initial_model(dense_results[c], grid_resolution, dtype=dtype)
+        for c in range(n_cameras)
+    )
+
+    state = BAState(
+        rig_q_global=jnp.asarray(rig_q, dtype),
+        rig_t_global=jnp.asarray(rig_t, dtype),
+        cam_q_rig=jnp.asarray(cam_q, dtype),
+        cam_t_rig=jnp.asarray(cam_t, dtype),
+        points=jnp.asarray(pts, dtype),
+        intrinsics=intrinsics,
+    )
+
+    # Observation tables: only used imagesets, sorted by camera.
+    sub = Dataset(
+        num_cameras=n_cameras,
+        image_sizes=dataset.image_sizes,
+        imagesets=[
+            s if used[i] else type(s)(features=[[] for _ in range(n_cameras)])
+            for i, s in enumerate(dataset.imagesets)
+        ],
+        known_geometries=dataset.known_geometries,
+    )
+    # build one table per camera directly
+    from camera_calibration_tpu.ba.dataset import PointFeature  # noqa: F401
+
+    data = []
+    for c in range(n_cameras):
+        ims, ptids, pixels = [], [], []
+        for i, s in enumerate(sub.imagesets):
+            for f in s.features[c]:
+                if f.feature_id in fid_to_idx:
+                    ims.append(i)
+                    ptids.append(fid_to_idx[f.feature_id])
+                    pixels.append(np.asarray(f.xy, np.float64))
+        n = len(ims)
+        data.append(
+            ObservationTable(
+                imageset=jnp.asarray(np.array(ims, np.int32)),
+                camera=jnp.full(n, c, jnp.int32),
+                point=jnp.asarray(np.array(ptids, np.int32)),
+                pixel=jnp.asarray(
+                    np.stack(pixels) if n else np.zeros((0, 2)), dtype
+                ),
+                valid=jnp.ones(n, bool),
+            )
+        )
+    return state, tuple(data), fid_to_idx

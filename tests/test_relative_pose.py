@@ -1,0 +1,68 @@
+"""Ramalingam-Sturm central+planar initializer: GT round-trip test.
+
+(reference analog: relative_pose_initialization_test.cc:235-265 —
+random GT poses -> collinear cloud construction -> pose recovery)
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from camera_calibration_tpu.init.relative_pose import central_planar_relative_pose
+from camera_calibration_tpu.ops import se3
+
+
+def _random_problem(seed, n=40):
+    rng = np.random.default_rng(seed)
+    # Camera optical center in the pattern (cloud2) frame, negative z.
+    o = np.array([rng.uniform(-0.2, 0.2), rng.uniform(-0.2, 0.2),
+                  rng.uniform(-1.5, -0.8)])
+    poses = []
+    for _ in range(2):
+        r = np.asarray(
+            se3.quat_to_matrix(se3.quat_exp(jnp.asarray(rng.normal(0, 0.15, 3))))
+        )
+        t = rng.normal(0, 0.15, 3)
+        poses.append((r, t))
+
+    clouds = np.zeros((3, n, 2))
+    for i in range(n):
+        # Ray through O hitting the pattern plane (z=0) at a random point.
+        p2 = np.array([rng.uniform(-0.5, 0.5), rng.uniform(-0.5, 0.5), 0.0])
+        d = p2 - o
+        clouds[2, i] = p2[:2]
+        for k, (r, t) in enumerate(poses):
+            # Intersect the ray with the plane {R p + t : p_z = 0}:
+            # solve for s with e3ᵀ Rᵀ (o + s d - t) = 0.
+            nrm = r[:, 2]  # plane normal in cloud2 coords
+            s = np.dot(nrm, t - o) / np.dot(nrm, d)
+            x = o + s * d
+            p = r.T @ (x - t)
+            assert abs(p[2]) < 1e-9
+            clouds[k, i] = p[:2]
+    return o, poses, clouds
+
+
+def test_central_planar_recovers_pose():
+    for seed in range(3):
+        o_gt, poses, clouds = _random_problem(seed)
+        out = central_planar_relative_pose(jnp.asarray(clouds))
+        assert bool(out["ok"]), seed
+        np.testing.assert_allclose(
+            np.asarray(out["optical_center"]), o_gt, atol=1e-6
+        )
+        for key_r, key_t, (r_gt, t_gt) in [
+            ("r0", "t0", poses[0]),
+            ("r1", "t1", poses[1]),
+        ]:
+            np.testing.assert_allclose(np.asarray(out[key_r]), r_gt, atol=1e-6)
+            np.testing.assert_allclose(np.asarray(out[key_t]), t_gt, atol=1e-6)
+
+
+def test_central_planar_masked_rows():
+    o_gt, poses, clouds = _random_problem(7, n=30)
+    # append garbage rows with zero weight
+    clouds_pad = np.concatenate([clouds, np.ones((3, 6, 2)) * 99.0], axis=1)
+    w = np.concatenate([np.ones(30), np.zeros(6)])
+    out = central_planar_relative_pose(jnp.asarray(clouds_pad), jnp.asarray(w))
+    assert bool(out["ok"])
+    np.testing.assert_allclose(np.asarray(out["optical_center"]), o_gt, atol=1e-6)
