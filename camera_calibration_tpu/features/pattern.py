@@ -1,0 +1,206 @@
+"""Star calibration pattern: spec, YAML IO, intensity oracle, rendering.
+
+Capability parity with the reference's PatternData (reference:
+applications/camera_calibration/src/camera_calibration/feature_detection/
+feature_detector_tagged_pattern.h:66-261) and the pattern YAML schema
+(reference: applications/camera_calibration/patterns/*.yaml):
+
+- feature coordinates are integers with (0,0) a feature; valid range
+  x,y ∈ [0, squares-2] minus AprilTag-covered cells (h:68-86);
+- the repeating star pattern has ``num_star_segments`` alternating
+  black/white angular segments around each feature
+  (PatternIntensityAt, h:115-130);
+- feature ids are sequential over all valid coords across the loaded
+  patterns (GetCorners, feature_detector_tagged_pattern.cc:739-761).
+
+The intensity oracle is vectorized (NumPy) and is used both for corner
+refinement (rendering the known pattern) and synthetic test rendering
+(the reference's RenderSyntheticDataset analog).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class AprilTagInfo:
+    x: int
+    y: int
+    width: int
+    height: int
+    index: int
+
+
+@dataclasses.dataclass
+class PatternSpec:
+    num_star_segments: int
+    squares_x: int
+    squares_y: int
+    square_length_in_meters: float
+    tags: list = dataclasses.field(default_factory=list)
+    page: dict | None = None
+
+    # ------------------------- validity -------------------------
+
+    def is_valid_feature_coord(self, x: int, y: int) -> bool:
+        """(reference: feature_detector_tagged_pattern.h:68-86)"""
+        if not (0 <= x <= self.squares_x - 2 and 0 <= y <= self.squares_y - 2):
+            return False
+        for tag in self.tags:
+            if (
+                tag.x - 1 <= x <= tag.x - 1 + tag.width
+                and tag.y - 1 <= y <= tag.y - 1 + tag.height
+            ):
+                return False
+        return True
+
+    def is_valid_pattern_coord(self, x: float, y: float) -> bool:
+        """(reference: feature_detector_tagged_pattern.h:88-108)"""
+        if not (-1.0 <= x <= self.squares_x - 1.0 and -1.0 <= y <= self.squares_y - 1.0):
+            return False
+        for tag in self.tags:
+            if (
+                tag.x - 1 <= x <= tag.x - 1 + tag.width
+                and tag.y - 1 <= y <= tag.y - 1 + tag.height
+            ):
+                return False
+        return True
+
+    def valid_feature_coords(self):
+        out = []
+        for y in range(self.squares_y - 1):
+            for x in range(self.squares_x - 1):
+                if self.is_valid_feature_coord(x, y):
+                    out.append((x, y))
+        return out
+
+    # ------------------------- intensity -------------------------
+
+    def intensity(self, positions):
+        """Pattern intensity at positions (..., 2) in feature coords.
+
+        1 = white, 0 = black, 0.5 at the (ill-defined) feature centers
+        (reference: h:115-130).  Vectorized NumPy.
+        """
+        pos = np.asarray(positions, np.float64)
+        # fractional offset in [-0.5, 0.5] (round half away from zero)
+        c = pos - np.sign(pos) * np.floor(np.abs(pos) + 0.5)
+        sq = np.sum(c * c, axis=-1)
+        angle = np.arctan2(c[..., 1], c[..., 0]) - 0.5 * np.pi
+        angle = np.where(angle < 0, angle + 2 * np.pi, angle)
+        seg = (self.num_star_segments * angle / (2 * np.pi)).astype(np.int64)
+        val = np.where(seg % 2 == 0, 1.0, 0.0)
+        return np.where(sq < 1e-8, 0.5, val)
+
+    def feature_count(self) -> int:
+        return len(self.valid_feature_coords())
+
+
+def load_pattern_yaml(path) -> PatternSpec:
+    """Load a pattern YAML (reference schema: patterns/*.yaml)."""
+    import yaml
+
+    with open(path) as f:
+        doc = yaml.safe_load(f)
+    tags = [
+        AprilTagInfo(
+            x=int(t["tag_x"]), y=int(t["tag_y"]),
+            width=int(t["width"]), height=int(t["height"]),
+            index=int(t["index"]),
+        )
+        for t in doc.get("apriltags", []) or []
+    ]
+    return PatternSpec(
+        num_star_segments=int(doc["num_star_segments"]),
+        squares_x=int(doc["squares_x"]),
+        squares_y=int(doc["squares_y"]),
+        square_length_in_meters=float(doc["square_length_in_meters"]),
+        tags=tags,
+        page=doc.get("page"),
+    )
+
+
+def save_pattern_yaml(spec: PatternSpec, path):
+    import yaml
+
+    doc = {
+        "num_star_segments": spec.num_star_segments,
+        "squares_x": spec.squares_x,
+        "squares_y": spec.squares_y,
+        "square_length_in_meters": spec.square_length_in_meters,
+    }
+    if spec.page:
+        doc["page"] = spec.page
+    if spec.tags:
+        doc["apriltags"] = [
+            {
+                "tag_x": t.x, "tag_y": t.y, "width": t.width,
+                "height": t.height, "index": t.index,
+            }
+            for t in spec.tags
+        ]
+    with open(path, "w") as f:
+        yaml.safe_dump(doc, f, sort_keys=False)
+
+
+def corners_for_patterns(patterns):
+    """Sequential feature ids across patterns.
+
+    Returns per-pattern dicts {feature_id: (x, y)}
+    (reference: GetCorners, feature_detector_tagged_pattern.cc:739-761).
+    """
+    out = []
+    fid = 0
+    for spec in patterns:
+        d = {}
+        for y in range(spec.squares_y - 1):
+            for x in range(spec.squares_x - 1):
+                if spec.is_valid_feature_coord(x, y):
+                    d[fid] = (x, y)
+                    fid += 1
+        out.append(d)
+    return out
+
+
+def render_pattern(
+    spec: PatternSpec,
+    homography,
+    image_size,
+    supersample: int = 4,
+    background: float = 1.0,
+    tag_renderer=None,
+):
+    """Render the pattern through a homography (image px -> pattern coords).
+
+    Anti-aliased via supersampling, the synthetic-GT approach of the
+    reference's RenderSyntheticDataset (reference: tools/
+    render_synthetic_dataset.cc:43) and its detector-bias test
+    (test/feature_detection_test.cc:48).  ``homography`` maps pixel-corner
+    image coordinates to pattern feature coordinates.
+    Returns a float image (H, W) in [0, 1].
+    """
+    w, h = image_size
+    ss = supersample
+    ys = (np.arange(h * ss) + 0.5) / ss
+    xs = (np.arange(w * ss) + 0.5) / ss
+    gx, gy = np.meshgrid(xs, ys)
+    pts = np.stack([gx, gy, np.ones_like(gx)])
+    q = np.einsum("ij,jkl->ikl", np.asarray(homography), pts)
+    pat = np.stack([q[0] / q[2], q[1] / q[2]], axis=-1)
+
+    inside = (
+        (pat[..., 0] >= -1.0)
+        & (pat[..., 0] <= spec.squares_x - 1.0)
+        & (pat[..., 1] >= -1.0)
+        & (pat[..., 1] <= spec.squares_y - 1.0)
+    )
+    vals = spec.intensity(pat)
+    if tag_renderer is not None:
+        vals = tag_renderer(pat, vals)
+    vals = np.where(inside, vals, background)
+    # box-downsample
+    vals = vals.reshape(h, ss, w, ss).mean(axis=(1, 3))
+    return vals
