@@ -1,0 +1,229 @@
+"""AprilTag (tag36h11) detection: quad extraction + code decoding.
+
+Functional replacement for the reference's vendored AprilTag C library
+(reference: applications/camera_calibration/third_party/apriltag, used by
+feature_detector_tagged_pattern.cc:316 apriltag_detector_detect): the
+calibration detector only needs tag ids + corner positions to seed
+feature prediction next to the tags.
+
+Pipeline (host-side; OpenCV for the image-processing primitives):
+1. adaptive threshold -> binary image;
+2. contour extraction + polygon approximation -> candidate quads;
+3. per-quad homography to the canonical 8×8 border frame, bilinear
+   sampling of data cells, black/white classification against
+   border/field references;
+4. decode against the tag36h11 code table over 4 rotations with a
+   Hamming tolerance.
+
+Corner order convention: detection.corners are the four outer black
+border corners in counter-clockwise order in tag coordinates, starting
+at tag coordinate (0, 0) = top-left of the canonical (unrotated) tag.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from camera_calibration_tpu.features import tag36h11_data as fam
+
+
+@dataclasses.dataclass
+class TagDetection:
+    tag_id: int
+    hamming: int
+    corners: np.ndarray  # (4, 2) pixel-corner convention, CCW from tag (0,0)
+    center: np.ndarray  # (2,)
+    h_tag_to_image: np.ndarray  # (3,3): tag border frame [0,8]² -> pixels
+
+
+def _quad_candidates(gray, min_area=64.0, max_area_frac=0.6):
+    import cv2
+
+    img8 = np.clip(gray * 255.0, 0, 255).astype(np.uint8) if gray.dtype != np.uint8 else gray
+    img8 = cv2.GaussianBlur(img8, (3, 3), 0.8)  # noise suppression
+    h, w = img8.shape
+    block = max(15, (min(h, w) // 16) | 1)
+    thresh = cv2.adaptiveThreshold(
+        img8, 255, cv2.ADAPTIVE_THRESH_MEAN_C, cv2.THRESH_BINARY_INV, block, 8
+    )
+    contours, _ = cv2.findContours(
+        thresh, cv2.RETR_LIST, cv2.CHAIN_APPROX_SIMPLE
+    )
+    quads = []
+    max_area = max_area_frac * h * w
+    for c in contours:
+        area = cv2.contourArea(c)
+        if area < min_area or area > max_area:
+            continue
+        # Try the raw contour first, then its convex hull (immune to
+        # jagged/eroded edges); first 4-vertex convex fit wins.
+        hull = cv2.convexHull(c)
+        found = False
+        for poly in (c, hull):
+            peri = cv2.arcLength(poly, True)
+            for eps_frac in (0.02, 0.04, 0.07, 0.1):
+                approx = cv2.approxPolyDP(poly, eps_frac * peri, True)
+                if approx.shape[0] == 4 and cv2.isContourConvex(approx):
+                    quads.append(approx[:, 0, :].astype(np.float64))
+                    found = True
+                    break
+            if found:
+                break
+    return quads
+
+
+def _order_ccw(quad):
+    """Counter-clockwise in image coords (y down => signed area > 0)."""
+    a = 0.0
+    for i in range(4):
+        x0, y0 = quad[i]
+        x1, y1 = quad[(i + 1) % 4]
+        a += x0 * y1 - x1 * y0
+    return quad if a > 0 else quad[::-1].copy()
+
+
+def _homography_4pt(src, dst):
+    a = []
+    for (x, y), (u, v) in zip(src, dst):
+        a.append([x, y, 1, 0, 0, 0, -u * x, -u * y, -u])
+        a.append([0, 0, 0, x, y, 1, -v * x, -v * y, -v])
+    _, _, vt = np.linalg.svd(np.asarray(a))
+    h = vt[-1].reshape(3, 3)
+    return h / h[2, 2]
+
+
+def _sample_grid(gray, h_tag_to_image, n=10, offset=-1.0):
+    """Sample an n×n grid of cell centers in the tag frame.
+
+    The tag border frame spans [0, 8]²; with n=10/offset=-1 the samples
+    cover the full 10×10 tag including the outer white ring.
+    """
+    coords = offset + 0.5 + np.arange(n, dtype=np.float64)
+    gx, gy = np.meshgrid(coords, coords)
+    pts = np.stack([gx, gy, np.ones_like(gx)])
+    q = np.einsum("ij,jkl->ikl", h_tag_to_image, pts)
+    px = q[0] / q[2]
+    py = q[1] / q[2]
+    h, w = gray.shape
+    # bilinear sample (pixel-corner convention: subtract 0.5 for centers)
+    x = np.clip(px - 0.5, 0, w - 1.001)
+    y = np.clip(py - 0.5, 0, h - 1.001)
+    x0 = np.clip(np.floor(x).astype(int), 0, w - 2)
+    y0 = np.clip(np.floor(y).astype(int), 0, h - 2)
+    tx = x - x0
+    ty = y - y0
+    v = (
+        gray[y0, x0] * (1 - tx) * (1 - ty)
+        + gray[y0, x0 + 1] * tx * (1 - ty)
+        + gray[y0 + 1, x0] * (1 - tx) * ty
+        + gray[y0 + 1, x0 + 1] * tx * ty
+    )
+    inb = (px >= 0.5) & (px < w - 0.5) & (py >= 0.5) & (py < h - 0.5)
+    return v, inb
+
+
+def _bits_from_cells(cells):
+    """36-bit code from an 8×8 cell grid (1 = white)."""
+    code = 0
+    for i in range(fam.NBITS):
+        bit = cells[fam.BIT_Y[i], fam.BIT_X[i]]
+        code = (code << 1) | int(bit)
+    return code
+
+
+def _hamming(a, b):
+    return bin(a ^ b).count("1")
+
+
+def detect_tags(
+    gray,
+    max_hamming: int = 1,
+    decode_sharpen: bool = True,
+):
+    """Detect tag36h11 tags in a grayscale image (float [0,1] or uint8).
+
+    Returns a list of TagDetection (pixel-corner convention corners).
+    """
+    gray = np.asarray(gray)
+    if gray.dtype == np.uint8:
+        grayf = gray.astype(np.float64) / 255.0
+    else:
+        grayf = gray.astype(np.float64)
+
+    detections = []
+    seen_ids = {}
+    for quad in _quad_candidates(grayf):
+        quad = _order_ccw(quad)
+        # contour corners are pixel indices; convert to pixel-corner coords
+        corners_img = quad + 0.5
+        # The quad detector finds the outer edge of the black border ring
+        # = tag frame [0, 8]².
+        tag_corners = np.array(
+            [[0.0, 0.0], [8.0, 0.0], [8.0, 8.0], [0.0, 8.0]]
+        )
+        for start in range(1):
+            h_t2i = _homography_4pt(tag_corners, corners_img)
+            grid, inb = _sample_grid(grayf, h_t2i, n=10, offset=-1.0)
+            if not inb.all():
+                continue
+            # references: black = border ring cells, white = outer ring
+            border_mask = np.zeros((10, 10), bool)
+            border_mask[1, 1:9] = True
+            border_mask[8, 1:9] = True
+            border_mask[1:9, 1] = True
+            border_mask[1:9, 8] = True
+            outer_mask = np.zeros((10, 10), bool)
+            outer_mask[0, :] = True
+            outer_mask[-1, :] = True
+            outer_mask[:, 0] = True
+            outer_mask[:, -1] = True
+            black_ref = grid[border_mask].mean()
+            white_ref = grid[outer_mask].mean()
+            if white_ref - black_ref < 0.1:
+                continue
+            thresh = 0.5 * (black_ref + white_ref)
+            cells10 = grid > thresh
+            data_cells = cells10[1:9, 1:9]  # 8×8 border frame
+
+            best = None
+            for rot in range(4):
+                cells = np.rot90(data_cells, rot)
+                code = _bits_from_cells(cells)
+                for tid, ref_code in enumerate(fam.CODES):
+                    hd = _hamming(code, ref_code)
+                    if hd <= max_hamming and (best is None or hd < best[0]):
+                        best = (hd, tid, rot)
+            if best is None:
+                continue
+            hd, tid, rot = best
+            # rotate corners so corner 0 corresponds to tag frame (0,0):
+            # np.rot90(cells, rot) maps original cell (y, x) ->  ... we
+            # rotated the GRID by `rot`; equivalently the detected quad is
+            # rotated by -rot relative to canonical. Shift corner order.
+            corners = np.roll(corners_img, -rot, axis=0)
+            h_fixed = _homography_4pt(tag_corners, corners)
+            center = corners.mean(0)
+            det = TagDetection(
+                tag_id=tid, hamming=hd, corners=corners, center=center,
+                h_tag_to_image=h_fixed,
+            )
+            prev = seen_ids.get(tid)
+            if prev is None or prev.hamming > hd:
+                seen_ids[tid] = det
+    detections = list(seen_ids.values())
+    return detections
+
+
+def render_tag(tag_id: int, cell_px: int = 1):
+    """Render the canonical 10×10 tag image (1 = white) for a tag id."""
+    code = fam.CODES[tag_id]
+    img = np.ones((10, 10))
+    img[1:9, 1:9] = 0.0  # black border + default-black data field
+    bits = [(code >> (fam.NBITS - 1 - i)) & 1 for i in range(fam.NBITS)]
+    for i, b in enumerate(bits):
+        img[1 + fam.BIT_Y[i], 1 + fam.BIT_X[i]] = float(b)
+    if cell_px > 1:
+        img = np.kron(img, np.ones((cell_px, cell_px)))
+    return img
