@@ -1,0 +1,375 @@
+"""Tagged star-pattern feature detector: tag seeding + homography growth.
+
+Capability parity with the reference's FeatureDetectorTaggedPattern
+(reference: applications/camera_calibration/src/camera_calibration/
+feature_detection/feature_detector_tagged_pattern.cc:215-650):
+
+1. detect AprilTags, match them to the configured pattern sheets, seed
+   corner predictions next to each tag through the tag homography
+   (PredictFeaturesNextToAprilTags, cc:769);
+2. grow detections in rounds: predict not-yet-detected neighbors of
+   detected corners with a local homography fit to the ≥4 nearest
+   detections (NormalizedDLT, cc:1235), refine all predictions of a round
+   in one batched jitted call (matching stage then symmetry stage,
+   cc:1483-1520), accept converged results (PredictAndDetectFeatures,
+   cc:958);
+3. validate: cost-quartile outlier rejection (stricter near the border,
+   cc:362-445) and geometric checks — ≥2 axis-aligned neighbors and
+   opposite-neighbor collinearity (cc:447-498);
+4. emit PointFeatures in pixel-corner convention (+0.5) with the
+   sequential per-pattern feature ids (cc:619-650).
+
+The refinement batches are the TPU hot path; prediction/bookkeeping is
+host-side NumPy.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from camera_calibration_tpu.ba.dataset import PointFeature
+from camera_calibration_tpu.features import apriltag as at
+from camera_calibration_tpu.features import pattern as pat
+from camera_calibration_tpu.features import refinement as ref
+
+
+@dataclasses.dataclass
+class DetectorOptions:
+    window_half_size: int = 10
+    num_samples: int = 512  # symmetry-stage samples per feature
+    matching_fraction: float = 0.125  # reference: 1/8 of samples (cc:1483)
+    refinement_type: str = "intensity"  # intensity | gradient
+    max_rounds: int = 64
+    cost_quartile_factor: float = 2.0  # quartile outlier rejection
+    min_axis_neighbors: int = 2  # geometric validation (cc:447-457)
+    collinearity_length_ratio: float = 1.5  # cc:100-135
+    collinearity_max_angle_deg: float = 5.0
+    seed: int = 0
+
+
+@dataclasses.dataclass
+class FeatureDetection:
+    position: np.ndarray  # (2,) pixel-center convention
+    coord: tuple  # integer pattern coord
+    cost: float
+
+
+def _feature_to_tag_frame(spec: pat.PatternSpec, tag: pat.AprilTagInfo):
+    """Affine map: feature coords -> tag border frame [0, 8]²."""
+    # tag outer square corners at feature coords (tag.x-1, tag.y-1) ..
+    # (tag.x-1+width, tag.y-1+height) (reference geometry, h:173-261)
+    sx = 8.0 / tag.width
+    sy = 8.0 / tag.height
+    return np.array(
+        [
+            [sx, 0.0, -sx * (tag.x - 1)],
+            [0.0, sy, -sy * (tag.y - 1)],
+            [0.0, 0.0, 1.0],
+        ]
+    )
+
+
+def _apply_h(h, pts):
+    p = np.concatenate([pts, np.ones_like(pts[..., :1])], -1)
+    q = p @ h.T
+    return q[..., :2] / q[..., 2:3]
+
+
+def _normalized_dlt(src, dst):
+    """Host DLT with Hartley normalization (for local homographies)."""
+    src = np.asarray(src, np.float64)
+    dst = np.asarray(dst, np.float64)
+    cs, cd = src.mean(0), dst.mean(0)
+    ss = np.sqrt(2) / max(np.linalg.norm(src - cs, axis=1).mean(), 1e-12)
+    sd = np.sqrt(2) / max(np.linalg.norm(dst - cd, axis=1).mean(), 1e-12)
+    sn = (src - cs) * ss
+    dn = (dst - cd) * sd
+    a = []
+    for (x, y), (u, v) in zip(sn, dn):
+        a.append([x, y, 1, 0, 0, 0, -u * x, -u * y, -u])
+        a.append([0, 0, 0, x, y, 1, -v * x, -v * y, -v])
+    try:
+        _, _, vt = np.linalg.svd(np.asarray(a))
+    except np.linalg.LinAlgError:
+        return None
+    hn = vt[-1].reshape(3, 3)
+    t_s = np.array([[ss, 0, -ss * cs[0]], [0, ss, -ss * cs[1]], [0, 0, 1]])
+    t_d_inv = np.array([[1 / sd, 0, cd[0]], [0, 1 / sd, cd[1]], [0, 0, 1]])
+    h = t_d_inv @ hn @ t_s
+    if abs(h[2, 2]) < 1e-15:
+        return None
+    return h / h[2, 2]
+
+
+class FeatureDetector:
+    """Detector over one or more pattern sheets.
+
+    patterns: list of PatternSpec; the tag `index` of each sheet's tags
+    identifies which sheet a detected tag belongs to.
+    """
+
+    def __init__(self, patterns, options: DetectorOptions = DetectorOptions()):
+        self.patterns = patterns
+        self.opts = options
+        self.corner_maps = pat.corners_for_patterns(patterns)
+        # tag index -> (pattern idx, tag info)
+        self.tag_lookup = {}
+        for pi, spec in enumerate(patterns):
+            for tag in spec.tags:
+                self.tag_lookup[tag.index] = (pi, tag)
+        self.rng = np.random.default_rng(options.seed)
+        self.sample_offsets = ref.make_sample_offsets(
+            self.rng, options.window_half_size, options.num_samples
+        )
+
+    # --------------- refinement of one batch of predictions ---------------
+
+    def _refine_batch(self, image_j, grad_j, predictions, h_locals, spec):
+        """Refine predicted positions. Returns (positions, costs, ok)."""
+        opts = self.opts
+        n = predictions.shape[0]
+        whs = opts.window_half_size
+        offs = self.sample_offsets * whs  # pixel-space window offsets
+        # map window offsets to pattern space per feature
+        pattern_samples = np.zeros((n, offs.shape[0], 2))
+        ok_h = np.ones(n, bool)
+        for i in range(n):
+            try:
+                h_inv = np.linalg.inv(h_locals[i])
+            except np.linalg.LinAlgError:
+                ok_h[i] = False
+                continue
+            pattern_samples[i] = _apply_h(h_inv, predictions[i] + offs)
+        # matching stage on a subset of samples
+        n_match = max(16, int(opts.matching_fraction * offs.shape[0]))
+        rendered = spec.intensity(pattern_samples[:, :n_match])
+        pos1, cost1, ok1 = ref.refine_features_matching(
+            image_j,
+            jnp.asarray(predictions),
+            jnp.asarray(h_locals),
+            jnp.asarray(pattern_samples[:, :n_match]),
+            jnp.asarray(rendered),
+            jnp.ones((n, n_match), bool),
+            whs,
+        )
+        pos1 = np.asarray(pos1)
+        # symmetry stage (full sample set) from the matching result
+        if opts.refinement_type == "gradient":
+            img_for_sym = grad_j
+            use_grad = True
+        else:
+            img_for_sym = image_j
+            use_grad = False
+        pos2, cost2, ok2 = ref.refine_features_symmetry(
+            img_for_sym,
+            jnp.asarray(pos1),
+            jnp.asarray(h_locals),
+            jnp.asarray(pattern_samples),
+            jnp.ones((n, offs.shape[0]), bool),
+            whs,
+            use_gradient=use_grad,
+        )
+        ok = np.asarray(ok1) & np.asarray(ok2) & ok_h
+        return np.asarray(pos2), np.asarray(cost2), ok
+
+    # ------------------------------ detection ------------------------------
+
+    def detect(self, image):
+        """Detect features. image: grayscale (H, W) float [0,1] or uint8.
+
+        Returns a list of per-pattern dicts {coord: FeatureDetection} plus
+        the flat PointFeature list (pixel-corner convention, sequential
+        feature ids).
+        """
+        image = np.asarray(image)
+        if image.dtype == np.uint8:
+            image = image.astype(np.float64) / 255.0
+        h_img, w_img = image.shape
+        image_j = jnp.asarray(image)
+        gy, gx = np.gradient(image)
+        grad_j = jnp.asarray(np.stack([gx, gy], axis=-1))
+
+        detections = [dict() for _ in self.patterns]
+
+        # --- 1. tag seeding ---
+        tags = at.detect_tags(image)
+        seed_batches = []  # (pattern idx, coords list, predictions, h_locals)
+        for det in tags:
+            hit = self.tag_lookup.get(det.tag_id)
+            if hit is None:
+                continue
+            pi, tag = hit
+            spec = self.patterns[pi]
+            f2t = _feature_to_tag_frame(spec, tag)
+            h_pat2img = det.h_tag_to_image @ f2t  # feature coords -> pixels
+            # predict the ring of features around the tag
+            coords = []
+            for y in range(tag.y - 2, tag.y + tag.height + 1):
+                for x in range(tag.x - 2, tag.x + tag.width + 1):
+                    if spec.is_valid_feature_coord(x, y):
+                        coords.append((x, y))
+            if not coords:
+                continue
+            pred = _apply_h(h_pat2img, np.asarray(coords, np.float64))
+            # to pixel-center convention
+            pred = pred - 0.5
+            h_locals = np.zeros((len(coords), 3, 3))
+            for i, (cx, cy) in enumerate(coords):
+                t = np.eye(3)
+                t[0, 2], t[1, 2] = cx, cy
+                hl = h_pat2img @ t
+                # translation column in pixel-center convention
+                hl = hl / hl[2, 2]
+                hl[0:2, 2] = pred[i]
+                h_locals[i] = hl
+            seed_batches.append((pi, coords, pred, h_locals))
+
+        for pi, coords, pred, h_locals in seed_batches:
+            spec = self.patterns[pi]
+            inb = (
+                (pred[:, 0] > self.opts.window_half_size)
+                & (pred[:, 0] < w_img - 1 - self.opts.window_half_size)
+                & (pred[:, 1] > self.opts.window_half_size)
+                & (pred[:, 1] < h_img - 1 - self.opts.window_half_size)
+            )
+            if not inb.any():
+                continue
+            idx = np.nonzero(inb)[0]
+            pos, cost, ok = self._refine_batch(
+                image_j, grad_j, pred[idx], h_locals[idx], spec
+            )
+            for k, i in enumerate(idx):
+                if ok[k]:
+                    detections[pi][tuple(coords[i])] = FeatureDetection(
+                        position=pos[k], coord=tuple(coords[i]),
+                        cost=float(cost[k]),
+                    )
+
+        # --- 2. growth rounds ---
+        for _ in range(self.opts.max_rounds):
+            new_any = False
+            for pi, spec in enumerate(self.patterns):
+                dets = detections[pi]
+                if len(dets) < 4:
+                    continue
+                coords_arr = np.asarray(list(dets.keys()), np.float64)
+                pos_arr = np.stack([dets[c].position for c in dets.keys()])
+                candidates = set()
+                for (cx, cy) in dets.keys():
+                    for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                        nb = (cx + dx, cy + dy)
+                        if nb in dets or not spec.is_valid_feature_coord(*nb):
+                            continue
+                        candidates.add(nb)
+                if not candidates:
+                    continue
+                cand = sorted(candidates)
+                preds, hs, kept = [], [], []
+                for c in cand:
+                    # local homography from nearest detections (cc:1235)
+                    d2 = np.sum((coords_arr - np.asarray(c)) ** 2, axis=1)
+                    k = min(12, len(d2))
+                    nn = np.argpartition(d2, k - 1)[:k]
+                    if len(nn) < 4:
+                        continue
+                    h_loc = _normalized_dlt(coords_arr[nn], pos_arr[nn])
+                    if h_loc is None:
+                        continue
+                    p = _apply_h(h_loc, np.asarray(c, np.float64)[None])[0]
+                    whs = self.opts.window_half_size
+                    if not (
+                        whs < p[0] < w_img - 1 - whs
+                        and whs < p[1] < h_img - 1 - whs
+                    ):
+                        continue
+                    t = np.eye(3)
+                    t[0, 2], t[1, 2] = c
+                    hl = h_loc @ t
+                    hl = hl / hl[2, 2]
+                    hl[0:2, 2] = p
+                    preds.append(p)
+                    hs.append(hl)
+                    kept.append(c)
+                if not preds:
+                    continue
+                pos, cost, ok = self._refine_batch(
+                    image_j, grad_j, np.stack(preds), np.stack(hs), spec
+                )
+                for k, c in enumerate(kept):
+                    if ok[k]:
+                        detections[pi][c] = FeatureDetection(
+                            position=pos[k], coord=c, cost=float(cost[k])
+                        )
+                        new_any = True
+            if not new_any:
+                break
+
+        # --- 3. validation ---
+        for pi, spec in enumerate(self.patterns):
+            detections[pi] = self._validate(detections[pi], (w_img, h_img))
+
+        # --- 4. flat output with sequential ids, pixel-corner convention ---
+        features = []
+        for pi, dets in enumerate(detections):
+            coord_to_fid = {
+                coord: fid for fid, coord in self.corner_maps[pi].items()
+            }
+            for coord, det in dets.items():
+                fid = coord_to_fid.get(coord)
+                if fid is None:
+                    continue
+                features.append(
+                    PointFeature(xy=det.position + 0.5, feature_id=fid)
+                )
+        return features, detections
+
+    # ------------------------------ validation ------------------------------
+
+    def _validate(self, dets, image_size):
+        opts = self.opts
+        if len(dets) < 8:
+            return dets
+        costs = np.asarray([d.cost for d in dets.values()])
+        q1, q3 = np.percentile(costs, [25, 75])
+        thresh = q3 + opts.cost_quartile_factor * (q3 - q1)
+        out = {
+            c: d for c, d in dets.items() if d.cost <= thresh
+        }
+
+        # geometric checks (cc:447-498)
+        def has_axis_neighbors(c):
+            n = 0
+            for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                if (c[0] + dx, c[1] + dy) in out:
+                    n += 1
+            return n >= opts.min_axis_neighbors
+
+        def collinear_ok(c):
+            d = out[c]
+            for (dx, dy) in ((1, 0), (0, 1)):
+                a = out.get((c[0] + dx, c[1] + dy))
+                b = out.get((c[0] - dx, c[1] - dy))
+                if a is None or b is None:
+                    continue
+                v1 = a.position - d.position
+                v2 = d.position - b.position
+                l1, l2 = np.linalg.norm(v1), np.linalg.norm(v2)
+                if min(l1, l2) < 1e-9:
+                    return False
+                ratio = max(l1, l2) / min(l1, l2)
+                if ratio > opts.collinearity_length_ratio:
+                    return False
+                cosang = np.dot(v1, v2) / (l1 * l2)
+                if cosang < np.cos(np.radians(opts.collinearity_max_angle_deg)):
+                    return False
+            return True
+
+        validated = {}
+        for c, d in out.items():
+            if has_axis_neighbors(c) and collinear_ok(c):
+                validated[c] = d
+        return validated

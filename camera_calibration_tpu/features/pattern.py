@@ -165,6 +165,31 @@ def corners_for_patterns(patterns):
     return out
 
 
+def make_tag_renderer(spec: PatternSpec):
+    """Tag-overlay callback for render_pattern: draws each configured
+    AprilTag (nearest-neighbor cells) into its reserved pattern area."""
+    from camera_calibration_tpu.features import apriltag as at
+
+    tag_images = {t.index: at.render_tag(t.index) for t in spec.tags}
+
+    def renderer(pat_coords, vals):
+        out = vals
+        for t in spec.tags:
+            img = tag_images[t.index]
+            # the tag's 8-cell border frame spans feature coords
+            # [t.x-1, t.x-1+width]; the full 10-cell image adds the outer
+            # white ring (border frame [-1, 9])
+            u = (pat_coords[..., 0] - (t.x - 1)) / t.width * 8.0 + 1.0
+            v = (pat_coords[..., 1] - (t.y - 1)) / t.height * 8.0 + 1.0
+            inside = (u >= 0) & (u < 10) & (v >= 0) & (v < 10)
+            iu = np.clip(u.astype(int), 0, 9)
+            iv = np.clip(v.astype(int), 0, 9)
+            out = np.where(inside, img[iv, iu], out)
+        return out
+
+    return renderer
+
+
 def render_pattern(
     spec: PatternSpec,
     homography,

@@ -1,0 +1,80 @@
+"""End-to-end feature detector test on a rendered tagged star pattern.
+
+(reference analog: test/feature_detection_test.cc:48 — render the pattern
+under a homography, run the full detector, measure sub-pixel accuracy)
+"""
+
+import numpy as np
+import pytest
+
+from camera_calibration_tpu.features import detector as fdet
+from camera_calibration_tpu.features import pattern as pat
+
+
+def _make_pattern_image(seed=0, square_px=26.0, n=12, noise=0.0,
+                        angle=0.04, persp=2e-5):
+    rng = np.random.default_rng(seed)
+    spec = pat.PatternSpec(
+        num_star_segments=16,
+        squares_x=n,
+        squares_y=n,
+        square_length_in_meters=0.02,
+        tags=[pat.AprilTagInfo(x=4, y=4, width=3, height=3, index=0)],
+    )
+    c, s = np.cos(angle), np.sin(angle)
+    h_pp = np.array(
+        [
+            [square_px * c, -square_px * s, 2.2 * square_px],
+            [square_px * s, square_px * c, 2.0 * square_px],
+            [persp, -persp, 1.0],
+        ]
+    )
+    w = int(square_px * (n + 3))
+    h = int(square_px * (n + 3))
+    img = pat.render_pattern(
+        spec, np.linalg.inv(h_pp), (w, h), supersample=4,
+        tag_renderer=pat.make_tag_renderer(spec),
+    )
+    if noise:
+        img = np.clip(img + rng.normal(0, noise, img.shape), 0, 1)
+    return spec, img, h_pp
+
+
+def _gt_positions(spec, h_pp):
+    out = {}
+    for coord in spec.valid_feature_coords():
+        q = h_pp @ np.array([coord[0], coord[1], 1.0])
+        out[coord] = q[:2] / q[2]  # pixel-corner convention
+    return out
+
+
+def test_detector_full_pattern():
+    spec, img, h_pp = _make_pattern_image()
+    gt = _gt_positions(spec, h_pp)
+    det = fdet.FeatureDetector([spec])
+    features, per_pattern = det.detect(img)
+
+    n_valid = spec.feature_count()
+    assert len(features) > 0.7 * n_valid, (len(features), n_valid)
+
+    corner_map = pat.corners_for_patterns([spec])[0]
+    errs = []
+    for f in features:
+        coord = corner_map[f.feature_id]
+        errs.append(np.linalg.norm(f.xy - gt[coord]))
+    errs = np.asarray(errs)
+    assert np.median(errs) < 0.05, np.median(errs)
+    assert errs.max() < 0.5, errs.max()
+
+
+def test_detector_with_noise():
+    spec, img, h_pp = _make_pattern_image(seed=4, noise=0.02)
+    gt = _gt_positions(spec, h_pp)
+    det = fdet.FeatureDetector([spec])
+    features, _ = det.detect(img)
+    assert len(features) > 0.6 * spec.feature_count()
+    corner_map = pat.corners_for_patterns([spec])[0]
+    errs = np.asarray(
+        [np.linalg.norm(f.xy - gt[corner_map[f.feature_id]]) for f in features]
+    )
+    assert np.median(errs) < 0.1, np.median(errs)
