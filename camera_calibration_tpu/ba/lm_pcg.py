@@ -83,9 +83,13 @@ def compute_blocks(data, state: BAState, warm_xy, options: BAOptions):
     new_warm = []
     for ci, seg in enumerate(data):
         model = state.intrinsics[ci]
+        from camera_calibration_tpu.models.central_generic import (
+            CentralGenericModel,
+        )
+
         frames = (
             manifolds.direction_tangents(model.grid)
-            if protocol.is_grid_model(model)
+            if isinstance(model, CentralGenericModel)
             else None
         )
         b, w = res.segment_blocks(

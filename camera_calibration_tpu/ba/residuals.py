@@ -32,6 +32,7 @@ import jax.numpy as jnp
 
 from camera_calibration_tpu.ba.state import BAState, transform_to_camera
 from camera_calibration_tpu.models import central_generic as cg
+from camera_calibration_tpu.models import noncentral_generic as ncg
 from camera_calibration_tpu.models import parametric as pm
 from camera_calibration_tpu.models import protocol
 from camera_calibration_tpu.models.base import replace
@@ -155,7 +156,14 @@ def segment_blocks(
     x = state.points[point_idx]
     x_cam, x_rig = transform_to_camera(state, imageset_idx, camera_idx, x)
 
-    if protocol.is_grid_model(model):
+    if isinstance(model, ncg.NoncentralGenericModel):
+        px, g, pvalid = ncg.project_points(
+            model, x_cam, init_xy=warm_xy, max_iterations=max_proj_iterations
+        )
+        nblocks = ncg.projection_blocks(model, g, x_cam)
+        a = nblocks["pix_wrt_x"]
+        intr = GridIntr(j_win=nblocks["j_win"], win_flat=nblocks["win_flat"])
+    elif protocol.is_grid_model(model):
         px, pvalid, a, intr = _grid_projection_blocks(
             model, x_cam, warm_xy, max_proj_iterations, tangent_frames
         )
@@ -209,7 +217,8 @@ def segment_blocks(
 def intr_apply_j(intr, tangent_intr):
     """Intrinsics contribution to J·v: (n, 2)."""
     if isinstance(intr, GridIntr):
-        gflat = tangent_intr.reshape(-1, 2)
+        k = tangent_intr.shape[-1]
+        gflat = tangent_intr.reshape(-1, k)
         return jnp.einsum("niyxj,nyxj->ni", intr.j_win, gflat[intr.win_flat])
     return jnp.einsum("nik,k->ni", intr.j_params, tangent_intr)
 
@@ -217,11 +226,11 @@ def intr_apply_j(intr, tangent_intr):
 def intr_apply_jtw(intr, ws, tangent_shape_like):
     """Intrinsics part of JᵀW·s, scattered into the tangent layout."""
     if isinstance(intr, GridIntr):
-        gh, gw = tangent_shape_like.shape[:2]
-        contrib = jnp.einsum("niyxj,ni->nyxj", intr.j_win, ws).reshape(-1, 2)
+        gh, gw, k = tangent_shape_like.shape
+        contrib = jnp.einsum("niyxj,ni->nyxj", intr.j_win, ws).reshape(-1, k)
         idx = intr.win_flat.reshape(-1)
         return jax.ops.segment_sum(contrib, idx, num_segments=gh * gw).reshape(
-            gh, gw, 2
+            gh, gw, k
         )
     return jnp.einsum("nik,ni->k", intr.j_params, ws)
 
@@ -229,11 +238,11 @@ def intr_apply_jtw(intr, ws, tangent_shape_like):
 def intr_jtwj_diag(intr, w, tangent_shape_like):
     """Intrinsics part of diag(JᵀWJ). w: (n,) IRLS weights."""
     if isinstance(intr, GridIntr):
-        gh, gw = tangent_shape_like.shape[:2]
-        contrib = jnp.einsum("niyxj,n->nyxj", intr.j_win**2, w).reshape(-1, 2)
+        gh, gw, k = tangent_shape_like.shape
+        contrib = jnp.einsum("niyxj,n->nyxj", intr.j_win**2, w).reshape(-1, k)
         idx = intr.win_flat.reshape(-1)
         return jax.ops.segment_sum(contrib, idx, num_segments=gh * gw).reshape(
-            gh, gw, 2
+            gh, gw, k
         )
     return jnp.einsum("nik,n->k", intr.j_params**2, w)
 

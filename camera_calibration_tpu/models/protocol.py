@@ -17,11 +17,12 @@ import jax
 import jax.numpy as jnp
 
 from camera_calibration_tpu.models import central_generic as cg
+from camera_calibration_tpu.models import noncentral_generic as ncg
 from camera_calibration_tpu.models import parametric as pm
 from camera_calibration_tpu.models.base import replace
 from camera_calibration_tpu.ops import manifolds
 
-GRID_MODELS = (cg.CentralGenericModel,)
+GRID_MODELS = (cg.CentralGenericModel, ncg.NoncentralGenericModel)
 PARAMETRIC_MODELS = (
     pm.CentralThinPrismFisheyeModel,
     pm.CentralOpenCVModel,
@@ -34,12 +35,26 @@ def is_grid_model(model) -> bool:
 
 
 def intrinsics_tangent_zero(model):
+    if isinstance(model, ncg.NoncentralGenericModel):
+        # 5 DoF/knot: 2 direction tangent + 3 origin (reference:
+        # noncentral_generic.h:142 update_parameter_count = 5*W*H)
+        return jnp.zeros(
+            model.direction_grid.shape[:2] + (5,), model.direction_grid.dtype
+        )
     if is_grid_model(model):
         return jnp.zeros(model.grid.shape[:2] + (2,), model.grid.dtype)
     return jnp.zeros_like(model.params)
 
 
 def intrinsics_retract(model, tangent, scale=1.0):
+    if isinstance(model, ncg.NoncentralGenericModel):
+        return replace(
+            model,
+            direction_grid=manifolds.retract_direction(
+                model.direction_grid, scale * tangent[..., 0:2]
+            ),
+            point_grid=model.point_grid + scale * tangent[..., 2:5],
+        )
     if is_grid_model(model):
         return replace(
             model, grid=manifolds.retract_direction(model.grid, scale * tangent)
@@ -49,6 +64,10 @@ def intrinsics_retract(model, tangent, scale=1.0):
 
 def project_points(model, x_cam, init_xy=None, max_iterations=10):
     """(pixels, aux, valid) for any model family."""
+    if isinstance(model, ncg.NoncentralGenericModel):
+        return ncg.project_points(
+            model, x_cam, init_xy=init_xy, max_iterations=max_iterations
+        )
     if is_grid_model(model):
         return cg.project_points(
             model, x_cam, init_xy=init_xy, max_iterations=max_iterations
@@ -57,6 +76,10 @@ def project_points(model, x_cam, init_xy=None, max_iterations=10):
 
 
 def unproject(model, pixels, max_iterations=20):
+    """Unit directions for central models; line directions for noncentral."""
+    if isinstance(model, ncg.NoncentralGenericModel):
+        d, _o, valid = ncg.unproject(model, pixels)
+        return d, valid
     if is_grid_model(model):
         return cg.unproject(model, pixels)
     return pm.unproject(model, pixels, max_iterations=max_iterations)

@@ -163,12 +163,12 @@ def perturb_state(state_gt: BAState, seed=1, pose_rot=0.01, pose_t=0.01,
     )
     intr = []
     for model in state_gt.intrinsics:
-        if protocol.is_grid_model(model):
-            gh, gw = model.grid.shape[:2]
-            tang = jnp.asarray(rng.normal(0, knot_sigma, (gh, gw, 2)))
+        zero = protocol.intrinsics_tangent_zero(model)
+        if zero.ndim == 3:  # grid tangent field
+            tang = jnp.asarray(rng.normal(0, knot_sigma, zero.shape))
         else:
             scale = np.maximum(np.abs(np.asarray(model.params)), 1.0)
-            tang = jnp.asarray(rng.normal(0, knot_sigma, model.params.shape) * scale)
+            tang = jnp.asarray(rng.normal(0, knot_sigma, zero.shape) * scale)
         intr.append(protocol.intrinsics_retract(model, tang))
     return BAState(
         rig_q_global=rig_q,

@@ -59,3 +59,90 @@ def test_parametric_ba_reconverges():
     state, info = lm_pcg.optimize(state0, obs, segments, options)
     err = np.asarray(ba_harness.reprojection_errors(state, obs, segments))
     assert np.median(err) < 1e-3, (np.median(err), info["final_cost"])
+
+
+def test_noncentral_ba_reconverges():
+    """BA with the NoncentralGeneric (per-pixel line) model.
+
+    (reference analog: noncentral_generic_test.cc:111)
+    """
+    import jax.numpy as jnp
+
+    from camera_calibration_tpu.models import noncentral_generic as ncg
+    from camera_calibration_tpu.models.base import replace as mreplace
+    from camera_calibration_tpu.ba.state import BAState
+
+    state_gt, obs, segments = ba_harness.make_problem(
+        seed=6, n_points=50, n_poses=10
+    )
+    # GT noncentral model: central grid + a small smooth origin field.
+    central = state_gt.intrinsics[0]
+    gh, gw = central.grid.shape[:2]
+    yy, xx = np.meshgrid(np.arange(gh), np.arange(gw), indexing="ij")
+    origins = np.stack(
+        [0.002 * np.sin(xx / 2.0), 0.002 * np.cos(yy / 2.0), np.zeros_like(xx, float)],
+        -1,
+    )
+    nc_model = ncg.NoncentralGenericModel(
+        direction_grid=central.grid,
+        point_grid=jnp.asarray(origins),
+        width=central.width, height=central.height,
+        calibration_min_x=central.calibration_min_x,
+        calibration_min_y=central.calibration_min_y,
+        calibration_max_x=central.calibration_max_x,
+        calibration_max_y=central.calibration_max_y,
+    )
+    state_gt = BAState(
+        rig_q_global=state_gt.rig_q_global,
+        rig_t_global=state_gt.rig_t_global,
+        cam_q_rig=state_gt.cam_q_rig,
+        cam_t_rig=state_gt.cam_t_rig,
+        points=state_gt.points,
+        intrinsics=(nc_model,),
+    )
+    # regenerate observations through the noncentral model
+    from camera_calibration_tpu.ba.state import transform_to_camera
+    from camera_calibration_tpu.ba.dataset import ObservationTable
+
+    x_cam, _ = transform_to_camera(
+        state_gt, obs.imageset, obs.camera, state_gt.points[obs.point]
+    )
+    px, _, valid = ncg.project_points(nc_model, x_cam, max_iterations=80)
+    obs = ObservationTable(
+        imageset=obs.imageset, camera=obs.camera, point=obs.point,
+        pixel=px, valid=obs.valid & valid,
+    )
+
+    state0 = ba_harness.perturb_state(
+        state_gt, seed=7, pose_rot=0.005, pose_t=0.005, point_sigma=0.002,
+        knot_sigma=0.0,
+    )
+    # perturb both noncentral grids directly
+    rng = np.random.default_rng(8)
+    m0 = state0.intrinsics[0]
+    from camera_calibration_tpu.ops import manifolds as man
+
+    m0 = mreplace(
+        m0,
+        direction_grid=man.retract_direction(
+            m0.direction_grid, jnp.asarray(rng.normal(0, 5e-4, (gh, gw, 2)))
+        ),
+        point_grid=m0.point_grid + jnp.asarray(rng.normal(0, 5e-4, (gh, gw, 3))),
+    )
+    state0 = BAState(
+        rig_q_global=state0.rig_q_global, rig_t_global=state0.rig_t_global,
+        cam_q_rig=state0.cam_q_rig, cam_t_rig=state0.cam_t_rig,
+        points=state0.points, intrinsics=(m0,),
+    )
+
+    err0 = np.asarray(ba_harness.reprojection_errors(state0, obs, segments))
+    assert np.median(err0[np.isfinite(err0)]) > 0.05
+
+    options = lm_pcg.BAOptions(
+        max_lm_iterations=30, max_pcg_iterations=80,
+        cost_reduction_threshold=1e-8,
+    )
+    state, info = lm_pcg.optimize(state0, obs, segments, options)
+    err = np.asarray(ba_harness.reprojection_errors(state, obs, segments))
+    assert np.median(err[np.isfinite(err)]) < 2e-3, (
+        np.median(err[np.isfinite(err)]), info["final_cost"])
