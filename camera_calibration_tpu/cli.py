@@ -1,0 +1,405 @@
+"""Command-line interface.
+
+The role of the reference's main.cc CLI (reference: applications/
+camera_calibration/src/camera_calibration/main.cc:70-427): feature
+extraction from image directories, full calibration from datasets, and
+side tools, with reference-compatible flag names where sensible.  The
+live-capture Qt GUI is out of scope (headless TPU framework).
+
+Subcommands:
+  calibrate         full pipeline: [detect] -> dense init -> pyramid BA
+  extract-features  detector only: images -> dataset.bin
+  report            calibration report for a saved state
+  create-pattern    generate a star pattern (PNG + YAML)
+  compare           reprojection comparison of two saved states
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import sys
+
+
+def _load_gray(path):
+    import cv2
+
+    img = cv2.imread(path, cv2.IMREAD_GRAYSCALE)
+    if img is None:
+        raise FileNotFoundError(path)
+    return img
+
+
+def _detect_dataset(image_dirs, pattern_files, options, log=print):
+    """Run the feature detector over image directories -> Dataset."""
+    import numpy as np
+
+    from camera_calibration_tpu.ba.dataset import Dataset, Imageset, KnownGeometry
+    from camera_calibration_tpu.features import detector as fdet
+    from camera_calibration_tpu.features import pattern as pat
+
+    patterns = [pat.load_pattern_yaml(p) for p in pattern_files]
+    det = fdet.FeatureDetector(patterns)
+    corner_maps = det.corner_maps
+
+    per_cam_files = []
+    for d in image_dirs:
+        files = sorted(
+            f
+            for f in glob.glob(os.path.join(d, "*"))
+            if f.lower().endswith((".png", ".jpg", ".jpeg", ".bmp", ".pgm", ".tif"))
+        )
+        per_cam_files.append(files)
+    n_sets = min(len(f) for f in per_cam_files)
+    n_cameras = len(image_dirs)
+
+    image_sizes = []
+    imagesets = []
+    for si in range(n_sets):
+        feats_per_cam = []
+        names = []
+        for ci in range(n_cameras):
+            img = _load_gray(per_cam_files[ci][si])
+            if si == 0:
+                image_sizes.append((img.shape[1], img.shape[0]))
+            features, _ = det.detect(img)
+            log(
+                f"[detect] camera {ci} image {si}: {len(features)} features"
+                f" ({os.path.basename(per_cam_files[ci][si])})"
+            )
+            feats_per_cam.append(features)
+            names.append(os.path.basename(per_cam_files[ci][si]))
+        imagesets.append(Imageset(features=feats_per_cam, filenames=names))
+
+    geoms = []
+    for pi, spec in enumerate(patterns):
+        geoms.append(
+            KnownGeometry(
+                cell_length_in_meters=spec.square_length_in_meters,
+                feature_id_to_position={
+                    fid: coord for fid, coord in corner_maps[pi].items()
+                },
+            )
+        )
+    return Dataset(
+        num_cameras=n_cameras,
+        image_sizes=image_sizes,
+        imagesets=imagesets,
+        known_geometries=geoms,
+    )
+
+
+def cmd_calibrate(args):
+    import jax
+
+    if args.dtype == "float64":
+        jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from camera_calibration_tpu import calibrate as cal
+    from camera_calibration_tpu.ba.dataset import split_by_camera
+    from camera_calibration_tpu.init.dense_init import (
+        DenseInitializer,
+        DenseInitOptions,
+    )
+    from camera_calibration_tpu.init.state_init import build_ba_state
+    from camera_calibration_tpu.io import dataset_bin, state_io
+
+    dtype = jnp.float64 if args.dtype == "float64" else jnp.float32
+
+    # 1. dataset
+    if args.dataset_files:
+        dataset = dataset_bin.load_dataset(args.dataset_files)
+    else:
+        if not (args.image_directories and args.pattern_files):
+            print("need --dataset_files or --image_directories + --pattern_files")
+            return 1
+        dataset = _detect_dataset(
+            args.image_directories.split(","),
+            args.pattern_files.split(","),
+            args,
+        )
+        os.makedirs(args.output_directory, exist_ok=True)
+        dataset_bin.save_dataset(
+            os.path.join(args.output_directory, "dataset.bin"), dataset
+        )
+
+    os.makedirs(args.output_directory, exist_ok=True)
+
+    # 2. dense initialization per camera
+    results = []
+    for ci in range(dataset.num_cameras):
+        init = DenseInitializer(
+            dataset, ci, DenseInitOptions(seed=args.seed)
+        )
+        res = init.run()
+        if res is None:
+            print(f"dense initialization failed for camera {ci}")
+            return 1
+        print(
+            f"[init] camera {ci}: {sum(res.image_used)}/"
+            f"{len(dataset.imagesets)} imagesets localized"
+        )
+        results.append(res)
+
+    # 3. initial BA state at the coarsest pyramid resolution
+    full_res = cal.compute_grid_resolution(
+        dataset.image_sizes[0][0], dataset.image_sizes[0][1],
+        args.approx_pixels_per_cell,
+    )
+    coarse = cal.grid_resolution_for_level(
+        args.num_pyramid_levels - 1, *full_res
+    )
+    state, data, fid_to_idx = build_ba_state(
+        dataset, results, (max(4, coarse[1]), max(4, coarse[0])), dtype=dtype
+    )
+
+    # 4. calibrate
+    options = cal.CalibrateOptions(
+        num_pyramid_levels=args.num_pyramid_levels,
+        approx_pixels_per_cell=args.approx_pixels_per_cell,
+        outlier_removal_factor=args.outlier_removal_factor,
+        final_iterations=args.final_iterations,
+    )
+    state, data, rep = cal.calibrate(
+        state,
+        data,
+        options,
+        known_geometries=dataset.known_geometries,
+        feature_id_to_point_index=fid_to_idx,
+    )
+    print("[calibrate] report:", {
+        k: v for k, v in rep.items() if not isinstance(v, list)
+    })
+
+    # 5. save state + report
+    used = [True] * state.rig_q_global.shape[0]
+    state_io.save_ba_state(
+        os.path.join(args.output_directory, "state"), state, used, fid_to_idx
+    )
+    if args.report:
+        from camera_calibration_tpu.report.calibration_report import (
+            create_calibration_report,
+        )
+
+        metrics = create_calibration_report(
+            os.path.join(args.output_directory, "report"), state, data,
+            num_total_imagesets=len(dataset.imagesets),
+        )
+        for ci, m in enumerate(metrics):
+            print(
+                f"[report] camera {ci}: median "
+                f"{m['reprojection_error_median']:.4f} px, avg "
+                f"{m['reprojection_error_average']:.4f} px"
+            )
+    return 0
+
+
+def cmd_extract_features(args):
+    from camera_calibration_tpu.io import dataset_bin
+
+    dataset = _detect_dataset(
+        args.image_directories.split(","), args.pattern_files.split(","), args
+    )
+    os.makedirs(os.path.dirname(args.output) or ".", exist_ok=True)
+    dataset_bin.save_dataset(args.output, dataset)
+    n = sum(
+        len(f)
+        for s in dataset.imagesets
+        for f in s.features
+    )
+    print(f"saved {args.output}: {len(dataset.imagesets)} imagesets, {n} features")
+    return 0
+
+
+def cmd_report(args):
+    from camera_calibration_tpu.ba.dataset import split_by_camera
+    from camera_calibration_tpu.io import dataset_bin, state_io
+    from camera_calibration_tpu.init.state_init import feature_id_to_point_index
+    from camera_calibration_tpu.report.calibration_report import (
+        create_calibration_report,
+    )
+
+    state, used, fid_map = state_io.load_ba_state(args.state_directory)
+    dataset = dataset_bin.load_dataset(args.dataset_files)
+    # build per-camera observation tables
+    from camera_calibration_tpu.init.state_init import build_ba_state  # noqa
+    import numpy as np
+    import jax.numpy as jnp
+    from camera_calibration_tpu.ba.dataset import ObservationTable
+
+    data = []
+    for ci in range(dataset.num_cameras):
+        ims, ptids, pixels = [], [], []
+        for i, s in enumerate(dataset.imagesets):
+            if i < len(used) and not used[i]:
+                continue
+            for f in s.features[ci]:
+                if f.feature_id in fid_map:
+                    ims.append(i)
+                    ptids.append(fid_map[f.feature_id])
+                    pixels.append(np.asarray(f.xy, np.float64))
+        data.append(
+            ObservationTable(
+                imageset=jnp.asarray(np.array(ims, np.int32)),
+                camera=jnp.full(len(ims), ci, jnp.int32),
+                point=jnp.asarray(np.array(ptids, np.int32)),
+                pixel=jnp.asarray(np.stack(pixels) if ims else np.zeros((0, 2))),
+                valid=jnp.ones(len(ims), bool),
+            )
+        )
+    metrics = create_calibration_report(
+        args.output_directory, state, tuple(data),
+        num_total_imagesets=len(dataset.imagesets),
+    )
+    for ci, m in enumerate(metrics):
+        print(f"camera {ci}: {m}")
+    return 0
+
+
+def cmd_create_pattern(args):
+    import numpy as np
+
+    from camera_calibration_tpu.features import pattern as pat
+
+    tags = []
+    if args.apriltags:
+        # place one tag in the middle, like the reference default patterns
+        tw = max(2, args.squares_x // 5)
+        tags = [
+            pat.AprilTagInfo(
+                x=(args.squares_x - tw) // 2,
+                y=(args.squares_y - tw) // 2,
+                width=tw,
+                height=tw,
+                index=args.first_tag_index,
+            )
+        ]
+    spec = pat.PatternSpec(
+        num_star_segments=args.num_star_segments,
+        squares_x=args.squares_x,
+        squares_y=args.squares_y,
+        square_length_in_meters=args.square_length_in_meters,
+        tags=tags,
+    )
+    os.makedirs(args.output_directory, exist_ok=True)
+    base = os.path.join(
+        args.output_directory,
+        f"pattern_resolution_{args.squares_x}x{args.squares_y}"
+        f"_segments_{args.num_star_segments}",
+    )
+    pat.save_pattern_yaml(spec, base + ".yaml")
+    # raster rendering (the reference generates PDF via reportlab; we emit
+    # a print-ready PNG at the requested dpi)
+    px_per_square = args.dpi_pixels_per_square
+    h_img = np.array(
+        [
+            [1.0 / px_per_square, 0.0, -1.5],
+            [0.0, 1.0 / px_per_square, -1.5],
+            [0.0, 0.0, 1.0],
+        ]
+    )
+    w = px_per_square * (spec.squares_x + 1)
+    h = px_per_square * (spec.squares_y + 1)
+    img = pat.render_pattern(
+        spec, h_img, (w, h), supersample=2,
+        tag_renderer=pat.make_tag_renderer(spec) if tags else None,
+    )
+    import cv2
+
+    cv2.imwrite(base + ".png", (img * 255).astype(np.uint8))
+    print(f"wrote {base}.yaml and {base}.png")
+    return 0
+
+
+def cmd_compare(args):
+    """Fitting-error comparison of two calibrations (reference:
+    tools/compare_calibrations.cc)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from camera_calibration_tpu.io import state_io
+    from camera_calibration_tpu.models import protocol
+
+    state_a, _, _ = state_io.load_ba_state(args.state_a)
+    state_b, _, _ = state_io.load_ba_state(args.state_b)
+    for ci, (ma, mb) in enumerate(zip(state_a.intrinsics, state_b.intrinsics)):
+        w, h = ma.width, ma.height
+        xs = np.linspace(2, w - 3, 80)
+        ys = np.linspace(2, h - 3, 60)
+        gx, gy = np.meshgrid(xs, ys)
+        px = jnp.asarray(np.stack([gx, gy], -1).reshape(-1, 2))
+        da, va = protocol.unproject(ma, px)
+        db, vb = protocol.unproject(mb, px)
+        m = np.asarray(va & vb)
+        ang = np.degrees(
+            np.arccos(
+                np.clip(np.sum(np.asarray(da)[m] * np.asarray(db)[m], -1), -1, 1)
+            )
+        )
+        print(
+            f"camera {ci}: direction angle diff deg median "
+            f"{np.median(ang):.6f} max {ang.max():.6f}"
+        )
+    return 0
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        prog="camera-calibration-tpu",
+        description="TPU-native generic camera calibration",
+    )
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("calibrate", help="full calibration pipeline")
+    p.add_argument("--image_directories", help="comma-separated, one per camera")
+    p.add_argument("--pattern_files", help="comma-separated pattern YAMLs")
+    p.add_argument("--dataset_files", help="existing dataset.bin")
+    p.add_argument("--output_directory", required=True)
+    p.add_argument("--model", default="central_generic")
+    p.add_argument("--num_pyramid_levels", type=int, default=3)
+    p.add_argument("--approx_pixels_per_cell", type=int, default=25)
+    p.add_argument("--outlier_removal_factor", type=float, default=8.0)
+    p.add_argument("--final_iterations", type=int, default=100)
+    p.add_argument("--dtype", default="float64",
+                   choices=["float32", "float64"])
+    p.add_argument("--report", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(func=cmd_calibrate)
+
+    p = sub.add_parser("extract-features", help="detector only")
+    p.add_argument("--image_directories", required=True)
+    p.add_argument("--pattern_files", required=True)
+    p.add_argument("--output", required=True, help="output dataset.bin")
+    p.set_defaults(func=cmd_extract_features)
+
+    p = sub.add_parser("report", help="report for a saved state")
+    p.add_argument("--state_directory", required=True)
+    p.add_argument("--dataset_files", required=True)
+    p.add_argument("--output_directory", required=True)
+    p.set_defaults(func=cmd_report)
+
+    p = sub.add_parser("create-pattern", help="generate a star pattern")
+    p.add_argument("--output_directory", required=True)
+    p.add_argument("--squares_x", type=int, default=17)
+    p.add_argument("--squares_y", type=int, default=24)
+    p.add_argument("--num_star_segments", type=int, default=16)
+    p.add_argument("--square_length_in_meters", type=float, default=0.0118)
+    p.add_argument("--apriltags", action="store_true", default=True)
+    p.add_argument("--first_tag_index", type=int, default=0)
+    p.add_argument("--dpi_pixels_per_square", type=int, default=64)
+    p.set_defaults(func=cmd_create_pattern)
+
+    p = sub.add_parser("compare", help="compare two calibrations")
+    p.add_argument("state_a")
+    p.add_argument("state_b")
+    p.set_defaults(func=cmd_compare)
+
+    args = parser.parse_args(argv)
+    return args.func(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -152,10 +152,32 @@ def detect_tags(
     else:
         grayf = gray.astype(np.float64)
 
+    import cv2
+
+    img8 = (
+        np.clip(grayf * 255.0, 0, 255).astype(np.uint8)
+    )
+
     detections = []
     seen_ids = {}
     for quad in _quad_candidates(grayf):
         quad = _order_ccw(quad)
+        # Sub-pixel corner refinement of the coarse contour vertices
+        # (the reference's apriltag library fits line segments; cornerSubPix
+        # on the saddle-like border corners serves the same purpose).
+        try:
+            refined = cv2.cornerSubPix(
+                img8,
+                quad.astype(np.float32).reshape(-1, 1, 2),
+                (5, 5),
+                (-1, -1),
+                (cv2.TERM_CRITERIA_EPS + cv2.TERM_CRITERIA_MAX_ITER, 20, 0.01),
+            ).reshape(-1, 2)
+            # keep only plausible refinements (within a few pixels)
+            ok = np.linalg.norm(refined - quad, axis=1) < 4.0
+            quad = np.where(ok[:, None], refined, quad)
+        except cv2.error:
+            pass
         # contour corners are pixel indices; convert to pixel-corner coords
         corners_img = quad + 0.5
         # The quad detector finds the outer edge of the black border ring
@@ -214,6 +236,112 @@ def detect_tags(
                 seen_ids[tid] = det
     detections = list(seen_ids.values())
     return detections
+
+
+def refine_tag_homography(grayf, det: TagDetection, iterations: int = 25):
+    """Sub-pixel refinement of the tag homography against the known bitmap.
+
+    The contour-based quad corners are biased ~1-2 px outward by the
+    threshold/blur pipeline; since the tag id is decoded we can align the
+    *known* canonical tag image under the 8-DoF homography with a small
+    Gauss-Newton template fit (host-side; one tag is tiny).  Returns a
+    TagDetection with refined corners/homography.
+    """
+    tag_img = render_tag(det.tag_id)  # (10,10), 1=white
+    h_img, w_img = grayf.shape
+    # sample grid over the tag incl. the outer white ring: tag frame [-1, 9]
+    k = 4  # subsamples per cell
+    coords = -1.0 + (np.arange(10 * k) + 0.5) / k
+    gx, gy = np.meshgrid(coords, coords)
+    s = np.stack([gx.ravel(), gy.ravel()], -1)  # (S,2) tag-frame positions
+    ix = np.clip(np.floor(s[:, 0] + 1).astype(int), 0, 9)
+    iy = np.clip(np.floor(s[:, 1] + 1).astype(int), 0, 9)
+    target = tag_img[iy, ix]
+
+    h = det.h_tag_to_image.copy()
+    h = h / h[2, 2]
+
+    def sample(hh):
+        p = np.concatenate([s, np.ones((s.shape[0], 1))], -1) @ hh.T
+        px = p[:, :2] / p[:, 2:3]
+        x = np.clip(px[:, 0] - 0.5, 0, w_img - 1.001)
+        y = np.clip(px[:, 1] - 0.5, 0, h_img - 1.001)
+        x0 = np.clip(np.floor(x).astype(int), 0, w_img - 2)
+        y0 = np.clip(np.floor(y).astype(int), 0, h_img - 2)
+        tx = (x - x0)[:, None]
+        ty = (y - y0)[:, None]
+        v00 = grayf[y0, x0][:, None]
+        v10 = grayf[y0, x0 + 1][:, None]
+        v01 = grayf[y0 + 1, x0][:, None]
+        v11 = grayf[y0 + 1, x0 + 1][:, None]
+        top = v00 + tx * (v10 - v00)
+        bot = v01 + tx * (v11 - v01)
+        val = (top + ty * (bot - top))[:, 0]
+        gx_ = ((v10 - v00) + ty * ((v11 - v01) - (v10 - v00)))[:, 0]
+        gy_ = (bot - top)[:, 0]
+        return px, val, np.stack([gx_, gy_], -1)
+
+    def h_params_jac(hh, px):
+        """d pixel / d (8 homography params) at tag-frame samples s."""
+        x, y = s[:, 0], s[:, 1]
+        denom = hh[2, 0] * x + hh[2, 1] * y + 1.0
+        t0 = 1.0 / denom
+        t1 = -t0 * t0
+        numx = hh[0, 0] * x + hh[0, 1] * y + hh[0, 2]
+        numy = hh[1, 0] * x + hh[1, 1] * y + hh[1, 2]
+        z = np.zeros_like(x)
+        row0 = np.stack([x * t0, y * t0, t0, z, z, z, x * numx * t1, y * numx * t1], -1)
+        row1 = np.stack([z, z, z, x * t0, y * t0, t0, x * numy * t1, y * numy * t1], -1)
+        return np.stack([row0, row1], -2)  # (S,2,8)
+
+    # affine intensity model fitted per iteration (closed form)
+    lam = 1e-3
+    prev_cost = None
+    for _ in range(iterations):
+        px, val, grad = sample(h)
+        a_mat = np.stack([target, np.ones_like(target)], -1)
+        fb, *_ = np.linalg.lstsq(a_mat, val, rcond=None)
+        pred = a_mat @ fb
+        r = val - pred
+        cost = float(r @ r)
+        pwh = h_params_jac(h, px)
+        jac = np.einsum("sc,scj->sj", grad, pwh)
+        big_h = jac.T @ jac
+        b = jac.T @ r
+        step = np.linalg.solve(big_h + lam * np.eye(8), b)
+        h_test = h.copy()
+        h_test[0, 0] -= step[0]
+        h_test[0, 1] -= step[1]
+        h_test[0, 2] -= step[2]
+        h_test[1, 0] -= step[3]
+        h_test[1, 1] -= step[4]
+        h_test[1, 2] -= step[5]
+        h_test[2, 0] -= step[6]
+        h_test[2, 1] -= step[7]
+        _, val_t, _ = sample(h_test)
+        pred_t = a_mat @ np.linalg.lstsq(a_mat, val_t, rcond=None)[0]
+        r_t = val_t - pred_t
+        if r_t @ r_t < cost:
+            h = h_test
+            lam = max(lam * 0.5, 1e-9)
+        else:
+            lam *= 4.0
+        if prev_cost is not None and abs(prev_cost - cost) < 1e-9 * max(cost, 1.0):
+            break
+        prev_cost = cost
+
+    tag_corners = np.array([[0.0, 0.0], [8.0, 0.0], [8.0, 8.0], [0.0, 8.0]])
+    corners = np.concatenate(
+        [tag_corners, np.ones((4, 1))], -1
+    ) @ h.T
+    corners = corners[:, :2] / corners[:, 2:3]
+    return TagDetection(
+        tag_id=det.tag_id,
+        hamming=det.hamming,
+        corners=corners,
+        center=corners.mean(0),
+        h_tag_to_image=h,
+    )
 
 
 def render_tag(tag_id: int, cell_px: int = 1):

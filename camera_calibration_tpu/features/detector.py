@@ -134,19 +134,40 @@ class FeatureDetector:
         n = predictions.shape[0]
         whs = opts.window_half_size
         offs = self.sample_offsets * whs  # pixel-space window offsets
-        # map window offsets to pattern space per feature
+        # Map window *displacements* to pattern space through the relative
+        # local homography (translation zeroed) — the template must be
+        # centered exactly on the pattern feature at (0,0), NOT on the
+        # (possibly wrong) prediction (reference:
+        # cpu_refinement_by_symmetry.h:58-61).
         pattern_samples = np.zeros((n, offs.shape[0], 2))
         ok_h = np.ones(n, bool)
         for i in range(n):
+            h_rel = h_locals[i] / h_locals[i][2, 2]
+            h_rel = h_rel.copy()
+            h_rel[0:2, 2] = 0.0
             try:
-                h_inv = np.linalg.inv(h_locals[i])
+                h_inv = np.linalg.inv(h_rel)
             except np.linalg.LinAlgError:
                 ok_h[i] = False
                 continue
-            pattern_samples[i] = _apply_h(h_inv, predictions[i] + offs)
-        # matching stage on a subset of samples
+            pattern_samples[i] = _apply_h(h_inv, offs)
+        # matching stage on a subset of samples; render anti-aliased (the
+        # reference uses 16x AA, cpu_refinement_by_matching.h) by averaging
+        # the oracle over the pixel footprint in pattern space
         n_match = max(16, int(opts.matching_fraction * offs.shape[0]))
-        rendered = spec.intensity(pattern_samples[:, :n_match])
+        sub = self.rng.uniform(-0.5, 0.5, (8, 2))
+        rendered = np.zeros((n, n_match))
+        for i in range(n):
+            if not ok_h[i]:
+                continue
+            h_inv = np.linalg.inv(h_locals[i])
+            foot = np.linalg.norm(h_inv[0:2, 0:2], 2)  # pattern units / px
+            acc = np.zeros(n_match)
+            for k in range(sub.shape[0]):
+                acc += spec.intensity(
+                    pattern_samples[i, :n_match] + sub[k] * foot
+                )
+            rendered[i] = acc / sub.shape[0]
         pos1, cost1, ok1 = ref.refine_features_matching(
             image_j,
             jnp.asarray(predictions),
@@ -197,6 +218,9 @@ class FeatureDetector:
 
         # --- 1. tag seeding ---
         tags = at.detect_tags(image)
+        # sub-pixel refinement of each tag homography against its known
+        # bitmap (the contour quads are ~1-2 px biased)
+        tags = [at.refine_tag_homography(image, t) for t in tags]
         seed_batches = []  # (pattern idx, coords list, predictions, h_locals)
         for det in tags:
             hit = self.tag_lookup.get(det.tag_id)

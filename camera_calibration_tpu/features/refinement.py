@@ -198,7 +198,7 @@ def refine_features_symmetry(
     return out_pos, best_cost, converged
 
 
-@partial(jax.jit, static_argnames=("num_iterations",))
+@partial(jax.jit, static_argnames=("num_iterations", "search_radius_px"))
 def refine_features_matching(
     image,
     positions,
@@ -208,6 +208,7 @@ def refine_features_matching(
     sample_valid,
     window_half_size,
     num_iterations: int = 10,
+    search_radius_px: float = 3.0,
 ):
     """Batched matching refinement: position (2) + affine intensity (2).
 
@@ -276,12 +277,36 @@ def refine_features_matching(
         active = active & ~diverged
         return ((pos, fac, bias), lam, active), None
 
-    fac0 = jnp.full((n,), -1.0, dtype)  # dark pattern on bright paper
-    bias0 = jnp.full((n,), 1.0, dtype)
+    # Coarse translation search before LM: the star pattern decorrelates
+    # within ~2 px, so seeds with multi-pixel error sit on a flat plateau
+    # where the 4-DoF LM collapses into the degenerate constant-intensity
+    # valley.  A batched cost scan over a small offset grid restores a
+    # basin the LM can descend (improvement over the reference, whose
+    # matching relies on sub-pixel tag corners for its seeds).
+    if search_radius_px > 0:
+        k = 7
+        lin = jnp.linspace(-search_radius_px, search_radius_px, k)
+        ox, oy = jnp.meshgrid(lin, lin)
+        offsets = jnp.stack([ox.ravel(), oy.ravel()], -1).astype(dtype)  # (k²,2)
+        fac1 = jnp.ones((n,), dtype)
+        bias1 = jnp.zeros((n,), dtype)
+
+        def scan_cost(off):
+            return cost_of((positions + off[None, :], fac1, bias1))
+
+        costs = jax.vmap(scan_cost)(offsets)  # (k², n)
+        best = jnp.argmin(costs, axis=0)  # (n,)
+        positions_start = positions + offsets[best]
+    else:
+        positions_start = positions
+
+    # identity intensity model: image ≈ rendered pattern (white = 1)
+    fac0 = jnp.full((n,), 1.0, dtype)
+    bias0 = jnp.full((n,), 0.0, dtype)
     lam0 = jnp.full((n,), -1.0, dtype)
     ((pos, fac, bias), lam, active), _ = jax.lax.scan(
         body,
-        ((positions, fac0, bias0), lam0, jnp.ones((n,), bool)),
+        ((positions_start, fac0, bias0), lam0, jnp.ones((n,), bool)),
         None,
         length=num_iterations,
     )

@@ -264,7 +264,12 @@ class DenseInitializer:
         if best is None:
             return False
         frac, triple, dm, out = best
-        if frac < self.opts.min_matched_area_accept:
+        # Strict acceptance per the reference (≥30% image area, cc:1296);
+        # if no triple ever reaches it, fall back to the best one found as
+        # long as it clears a floor — small patterns in large images would
+        # otherwise never bootstrap.
+        floor = 5.0 * self.opts.min_matched_area_attempt
+        if frac < min(self.opts.min_matched_area_accept, floor):
             return False
 
         # Global frame = pattern (cloud2) frame. Camera center at the optical

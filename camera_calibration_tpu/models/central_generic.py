@@ -135,7 +135,7 @@ def _normalize_with_jac(u):
 def unproject_grid_coords(model: CentralGenericModel, gxy):
     """Unit direction at continuous grid coords (..., 2)."""
     flat = gxy.reshape(-1, 2)
-    u = jax.vmap(lambda p: bspline.eval_surface(model.grid, p[0], p[1]))(flat)
+    u = bspline.eval_surface_dense(model.grid, flat)
     un = u / jnp.linalg.norm(u, axis=-1, keepdims=True)
     return un.reshape(gxy.shape[:-1] + (3,))
 
@@ -219,16 +219,15 @@ def project_directions(
     g = pixel_to_grid(model, init_xy.astype(dtype))
     lo, hi = _grid_clamp_bounds(model)
 
-    eval_batch = jax.vmap(lambda p: _eval_spline_and_jac(model.grid, p))
-
     def dir_residual(g_pts):
-        u, du = eval_batch(g_pts)
+        # dense one-hot spline eval: gathers become MXU contractions
+        u, du = bspline.eval_surface_dense_with_jac(model.grid, g_pts)
         norm = jnp.linalg.norm(u, axis=-1, keepdims=True)
         un = u / norm
         return un, du, norm
 
     def cost_at(g_pts):
-        u = jax.vmap(lambda p: bspline.eval_surface(model.grid, p[0], p[1]))(g_pts)
+        u = bspline.eval_surface_dense(model.grid, g_pts)
         un = u / jnp.linalg.norm(u, axis=-1, keepdims=True)
         return jnp.sum((un - dirs) ** 2, axis=-1)
 
