@@ -55,6 +55,10 @@ from camera_calibration_tpu.ops import manifolds
 class BAOptions:
     max_lm_iterations: int = 30
     max_pcg_iterations: int = 50
+    # Inexact-Newton forcing: stop CG when the residual drops below this
+    # fraction of ||b||. LM test steps don't need exact solves; the
+    # reference's PCG similarly early-stops (cuda_joint_optimization.cc:448).
+    pcg_rel_tolerance: float = 0.03
     huber_px: float = 1.0
     proj_iterations: int = 10
     lambda_initial_factor: float = 1e-4  # × mean diag
@@ -137,6 +141,7 @@ def apply_jtw(data, blocks, s_list, state: BAState) -> BATangent:
             jnp.einsum("nik,ni->nk", b.j_rig, ws),
             seg.imageset,
             num_segments=rig.shape[0],
+            indices_are_sorted=True,  # tables are built pose-major
         )
         cam = cam.at[ci].add(jnp.sum(jnp.einsum("nik,ni->nk", b.j_cam, ws), axis=0))
         pts = pts + jax.ops.segment_sum(
@@ -160,6 +165,7 @@ def jtwj_diag(data, blocks, state: BAState) -> BATangent:
             jnp.sum(b.j_rig**2 * w[..., None], axis=1),
             seg.imageset,
             num_segments=rig.shape[0],
+            indices_are_sorted=True,
         )
         cam = cam.at[ci].add(jnp.sum(b.j_cam**2 * w[..., None], axis=(0, 1)))
         pts = pts + jax.ops.segment_sum(
@@ -175,8 +181,95 @@ def _masked(tangent: BATangent, mask: BATangent) -> BATangent:
     return _tree_map2(lambda t, m: t * m, tangent, mask)
 
 
-def pcg_solve(data, blocks, state, grad, diag, lam, mask, options):
-    """Solve (JᵀWJ + λI) δ = −grad with Jacobi preconditioning."""
+def jtwj_block_diag(data, blocks, state: BAState):
+    """Variable-block diagonal of JᵀWJ: 6×6 rig/cam, 3×3 point, per-knot
+    K×K grid blocks (or the full dense-parametric block).
+
+    The block-Jacobi preconditioner built from these typically needs
+    several times fewer CG iterations than the scalar diagonal — the role
+    of the reference's per-block D⁻¹ in its Schur machinery
+    (lm_optimizer.h:1246-1369)."""
+    dtype = state.points.dtype
+    m = state.rig_q_global.shape[0]
+    c = state.cam_q_rig.shape[0]
+    p_n = state.points.shape[0]
+    rig = jnp.zeros((m, 6, 6), dtype)
+    cam = jnp.zeros((c, 6, 6), dtype)
+    pts = jnp.zeros((p_n, 3, 3), dtype)
+    intr = []
+    for ci, seg in enumerate(data):
+        b = blocks[ci]
+        w = b.weight
+        rig = rig + jax.ops.segment_sum(
+            jnp.einsum("nij,nik,n->njk", b.j_rig, b.j_rig, w),
+            seg.imageset,
+            num_segments=m,
+            indices_are_sorted=True,
+        )
+        cam = cam.at[ci].add(
+            jnp.einsum("nij,nik,n->jk", b.j_cam, b.j_cam, w)
+        )
+        pts = pts + jax.ops.segment_sum(
+            jnp.einsum("nij,nik,n->njk", b.j_point, b.j_point, w),
+            seg.point,
+            num_segments=p_n,
+        )
+        bi = b.intr
+        if isinstance(bi, res.GridIntr):
+            k = bi.j_win.shape[-1]
+            zero = zero_tangent(state).intr[ci]
+            gh, gw = zero.shape[0], zero.shape[1]
+            contrib = jnp.einsum(
+                "niyxj,niyxk,n->nyxjk", bi.j_win, bi.j_win, w
+            ).reshape(-1, k, k)
+            idx = bi.win_flat.reshape(-1)
+            knot = jax.ops.segment_sum(contrib, idx, num_segments=gh * gw)
+            intr.append(knot.reshape(gh, gw, k, k))
+        else:
+            intr.append(
+                jnp.einsum("nij,nik,n->jk", bi.j_params, bi.j_params, w)
+            )
+    return rig, cam, pts, tuple(intr)
+
+
+def make_block_preconditioner(block_diag, lam, state):
+    """Invert damped diagonal blocks; returns an apply(r)->z function."""
+    rig, cam, pts, intr = block_diag
+    dtype = state.points.dtype
+
+    def damped_inv(a):
+        k = a.shape[-1]
+        return jnp.linalg.inv(a + lam * jnp.eye(k, dtype=dtype))
+
+    rig_inv = damped_inv(rig)
+    cam_inv = damped_inv(cam)
+    pts_inv = damped_inv(pts)
+    intr_inv = []
+    for ii in intr:
+        if ii.ndim == 4:  # (gh, gw, k, k) per-knot blocks
+            intr_inv.append(damped_inv(ii))
+        else:
+            intr_inv.append(damped_inv(ii))
+
+    def apply(r: BATangent) -> BATangent:
+        new_intr = []
+        for inv, ri in zip(intr_inv, r.intr):
+            if inv.ndim == 4:
+                new_intr.append(jnp.einsum("hwjk,hwk->hwj", inv, ri))
+            else:
+                new_intr.append(inv @ ri)
+        return BATangent(
+            rig=jnp.einsum("mjk,mk->mj", rig_inv, r.rig),
+            cam=jnp.einsum("cjk,ck->cj", cam_inv, r.cam),
+            points=jnp.einsum("pjk,pk->pj", pts_inv, r.points),
+            intr=tuple(new_intr),
+        )
+
+    return apply
+
+
+def pcg_solve(data, blocks, state, grad, block_diag, lam, mask, options):
+    """Solve (JᵀWJ + λI) δ = −grad with block-Jacobi preconditioning."""
 
     def matvec(v):
         v = _masked(v, mask)
@@ -185,17 +278,21 @@ def pcg_solve(data, blocks, state, grad, diag, lam, mask, options):
         hv = _masked(hv, mask)
         return _tree_map2(lambda h, vi: h + lam * vi, hv, v)
 
-    m_inv = jax.tree_util.tree_map(lambda d: 1.0 / (d + lam), diag)
+    precond = make_block_preconditioner(block_diag, lam, state)
+
+    def apply_m_inv(r):
+        return _masked(precond(_masked(r, mask)), mask)
+
     b = jax.tree_util.tree_map(lambda g: -g, grad)
     b = _masked(b, mask)
 
     x = zero_tangent(state)
     r = b
-    z = _tree_map2(lambda mi, ri: mi * ri, m_inv, r)
+    z = apply_m_inv(r)
     p = z
     rz = _tree_dot(r, z)
     b_norm = jnp.sqrt(_tree_dot(b, b))
-    tol = 1e-10 * b_norm
+    tol = options.pcg_rel_tolerance * b_norm
 
     def body(c):
         x, r, z, p, rz, k = c
@@ -203,7 +300,7 @@ def pcg_solve(data, blocks, state, grad, diag, lam, mask, options):
         alpha = rz / jnp.maximum(_tree_dot(p, ap), 1e-35)
         x = _tree_map2(lambda xi, pi: xi + alpha * pi, x, p)
         r = _tree_map2(lambda ri, api: ri - alpha * api, r, ap)
-        z = _tree_map2(lambda mi, ri: mi * ri, m_inv, r)
+        z = apply_m_inv(r)
         rz_new = _tree_dot(r, z)
         beta = rz_new / jnp.maximum(rz, 1e-35)
         p = _tree_map2(lambda zi, pi: zi + beta * pi, z, p)
@@ -248,15 +345,25 @@ def lm_step(state, warm_xy, lam, data, options: BAOptions):
     blocks, warm1 = compute_blocks(data, state, warm_xy, options)
     grad = apply_jtw(data, blocks, [b.r for b in blocks], state)
     grad = _masked(grad, mask)
-    diag = jtwj_diag(data, blocks, state)
-    diag = _masked(diag, mask)
+    block_diag = jtwj_block_diag(data, blocks, state)
 
-    n_params = sum(x.size for x in jax.tree_util.tree_leaves(diag))
-    mean_diag = _tree_dot(diag, jax.tree_util.tree_map(jnp.ones_like, diag))
-    mean_diag = mean_diag / n_params
+    # λ init from the mean scalar diagonal of the blocks
+    rig_b, cam_b, pts_b, intr_b = block_diag
+    diag_sum = (
+        jnp.sum(jnp.trace(rig_b, axis1=-2, axis2=-1))
+        + jnp.sum(jnp.trace(cam_b, axis1=-2, axis2=-1))
+        + jnp.sum(jnp.trace(pts_b, axis1=-2, axis2=-1))
+        + sum(jnp.sum(jnp.trace(ib, axis1=-2, axis2=-1)) for ib in intr_b)
+    )
+    n_params = sum(
+        x.size for x in jax.tree_util.tree_leaves(zero_tangent(state))
+    )
+    mean_diag = diag_sum / n_params
     lam = jnp.where(lam < 0, options.lambda_initial_factor * mean_diag, lam)
 
-    delta, pcg_iters = pcg_solve(data, blocks, state, grad, diag, lam, mask, options)
+    delta, pcg_iters = pcg_solve(
+        data, blocks, state, grad, block_diag, lam, mask, options
+    )
     test_state = retract(state, delta)
     test_costs, test_valids, warm2 = total_cost(data, test_state, warm1, options)
 

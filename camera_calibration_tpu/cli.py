@@ -314,6 +314,150 @@ def cmd_create_pattern(args):
     return 0
 
 
+def cmd_stereo_depth(args):
+    """Stereo depth on a calibrated 2-camera rig (reference:
+    tools/stereo_depth_estimation.cc)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from camera_calibration_tpu.io import state_io
+    from camera_calibration_tpu.ops import se3
+    from camera_calibration_tpu.stereo import patch_match as pms
+
+    state, _, _ = state_io.load_ba_state(args.state_directory)
+    if len(state.intrinsics) < 2:
+        print("stereo-depth needs a 2-camera rig state")
+        return 1
+    img_l = _load_gray(args.left_image).astype(np.float64) / 255.0
+    img_r = _load_gray(args.right_image).astype(np.float64) / 255.0
+    # other_tr_ref = cam1_tr_rig ∘ (cam0_tr_rig)⁻¹  (rig frame = cam0 anchor)
+    q0, t0 = state.cam_q_rig[0], state.cam_t_rig[0]
+    q1, t1 = state.cam_q_rig[1], state.cam_t_rig[1]
+    qi, ti = se3.se3_inverse(q0, t0)
+    qr, tr = se3.se3_compose(q1, t1, qi, ti)
+    r_rel = np.asarray(se3.quat_to_matrix(qr))
+    t_rel = np.asarray(tr)
+    opts = pms.PatchMatchOptions(
+        min_depth=args.min_depth, max_depth=args.max_depth,
+        num_levels=args.num_levels,
+    )
+    result_l = pms.compute_depth_map(
+        jnp.asarray(img_l), jnp.asarray(img_r),
+        state.intrinsics[0], state.intrinsics[1], (r_rel, t_rel), opts,
+    )
+    # LR consistency (second pass from the right camera)
+    r_inv = r_rel.T
+    t_inv = -r_rel.T @ t_rel
+    result_r = pms.compute_depth_map(
+        jnp.asarray(img_r), jnp.asarray(img_l),
+        state.intrinsics[1], state.intrinsics[0], (r_inv, t_inv), opts,
+    )
+    mask = pms.lr_consistency_mask(
+        result_l, result_r, state.intrinsics[0], state.intrinsics[1],
+        (r_rel, t_rel),
+    )
+    import numpy as _np
+
+    mask = _np.asarray(mask) & _np.isfinite(_np.asarray(result_l["cost"]))
+    pms.export_point_cloud(args.output, result_l, mask=mask, colors=img_l)
+    print(
+        f"wrote {args.output}: {int(mask.sum())} points "
+        f"({100.0 * mask.mean():.1f}% consistent)"
+    )
+    return 0
+
+
+def cmd_render_synthetic(args):
+    """Render a synthetic dataset of pattern views from a pinhole GT camera
+    (reference: tools/render_synthetic_dataset.cc:43)."""
+    import numpy as np
+    import cv2
+    import jax.numpy as jnp
+
+    from camera_calibration_tpu.features import pattern as pat
+    from camera_calibration_tpu.models import pinhole
+    from camera_calibration_tpu.ops import se3
+
+    spec = pat.load_pattern_yaml(args.pattern_file)
+    rng = np.random.default_rng(args.seed)
+    w, h = args.width, args.height
+    cam = pinhole.make_pinhole(0.85 * w, 0.85 * w, 0.5 * w, 0.5 * h, w, h)
+    os.makedirs(args.output_directory, exist_ok=True)
+    cell = spec.square_length_in_meters
+    off_x = (spec.squares_x - 1) * cell / 2
+    off_y = (spec.squares_y - 1) * cell / 2
+    k_mat = np.array(
+        [[float(cam.fx), 0, float(cam.cx)], [0, float(cam.fy), float(cam.cy)],
+         [0, 0, 1]]
+    )
+    renderer = pat.make_tag_renderer(spec) if spec.tags else None
+    for i in range(args.num_images):
+        q = se3.quat_exp(jnp.asarray(rng.normal(0, 0.12, 3)))
+        r = np.asarray(se3.quat_to_matrix(q))
+        t = np.array(
+            [-off_x + rng.normal(0, 0.05), -off_y + rng.normal(0, 0.05),
+             rng.uniform(args.min_z, args.max_z)]
+        )
+        h_pp = k_mat @ np.c_[r[:, :2] * cell, t]
+        img = pat.render_pattern(
+            spec, np.linalg.inv(h_pp), (w, h), supersample=3,
+            tag_renderer=renderer,
+        )
+        if args.noise > 0:
+            img = np.clip(img + rng.normal(0, args.noise, img.shape), 0, 1)
+        cv2.imwrite(
+            os.path.join(args.output_directory, f"synthetic_{i:04d}.png"),
+            (img * 255).astype(np.uint8),
+        )
+    print(f"rendered {args.num_images} images to {args.output_directory}")
+    return 0
+
+
+def cmd_localization_accuracy(args):
+    """Monte-Carlo localization accuracy comparison of two calibrations
+    (reference: tools/localization_accuracy_test.cc:47-90)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from camera_calibration_tpu.init.p3p import ransac_p3p
+    from camera_calibration_tpu.io import state_io
+    from camera_calibration_tpu.models import protocol
+
+    state_gt, _, _ = state_io.load_ba_state(args.gt_state)
+    state_cmp, _, _ = state_io.load_ba_state(args.compared_state)
+    model_gt = state_gt.intrinsics[args.camera_index]
+    model_cmp = state_cmp.intrinsics[args.camera_index]
+    rng = np.random.default_rng(args.seed)
+    w, h = model_gt.width, model_gt.height
+    pos_errors, rot_errors = [], []
+    for _ in range(args.trials):
+        # 15 random pixels unprojected with the GT model at 1.5-2.5 m
+        px = rng.uniform([5, 5], [w - 5, h - 5], (15, 2))
+        d_gt, _ = protocol.unproject(model_gt, jnp.asarray(px))
+        depth = rng.uniform(1.5, 2.5, (15, 1))
+        pts = np.asarray(d_gt) * depth  # world == camera frame (identity GT)
+        d_cmp, _ = protocol.unproject(model_cmp, jnp.asarray(px))
+        out = ransac_p3p(
+            np.asarray(d_cmp), pts, max_iterations=20,
+            seed=int(rng.integers(1 << 31)),
+        )
+        if out is None:
+            continue
+        r, t, _ = out
+        pos_errors.append(np.linalg.norm(t))  # GT camera center = 0
+        ang = np.degrees(np.arccos(np.clip((np.trace(r) - 1) / 2, -1, 1)))
+        rot_errors.append(ang)
+    pos_errors = np.asarray(pos_errors)
+    rot_errors = np.asarray(rot_errors)
+    print(
+        f"localization over {len(pos_errors)} trials: position error "
+        f"median {np.median(pos_errors):.6f} m, p90 "
+        f"{np.percentile(pos_errors, 90):.6f} m; rotation error median "
+        f"{np.median(rot_errors):.5f} deg"
+    )
+    return 0
+
+
 def cmd_compare(args):
     """Fitting-error comparison of two calibrations (reference:
     tools/compare_calibrations.cc)."""
@@ -392,10 +536,43 @@ def main(argv=None):
     p.add_argument("--dpi_pixels_per_square", type=int, default=64)
     p.set_defaults(func=cmd_create_pattern)
 
+    p = sub.add_parser("stereo-depth", help="depth estimation on a stereo rig")
+    p.add_argument("--state_directory", required=True)
+    p.add_argument("--left_image", required=True)
+    p.add_argument("--right_image", required=True)
+    p.add_argument("--output", required=True, help="output .obj point cloud")
+    p.add_argument("--min_depth", type=float, default=0.2)
+    p.add_argument("--max_depth", type=float, default=20.0)
+    p.add_argument("--num_levels", type=int, default=96)
+    p.set_defaults(func=cmd_stereo_depth)
+
     p = sub.add_parser("compare", help="compare two calibrations")
     p.add_argument("state_a")
     p.add_argument("state_b")
     p.set_defaults(func=cmd_compare)
+
+    p = sub.add_parser("render-synthetic", help="render a synthetic dataset")
+    p.add_argument("--pattern_file", required=True)
+    p.add_argument("--output_directory", required=True)
+    p.add_argument("--num_images", type=int, default=20)
+    p.add_argument("--width", type=int, default=640)
+    p.add_argument("--height", type=int, default=480)
+    p.add_argument("--min_z", type=float, default=0.45)
+    p.add_argument("--max_z", type=float, default=0.75)
+    p.add_argument("--noise", type=float, default=0.01)
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(func=cmd_render_synthetic)
+
+    p = sub.add_parser(
+        "localization-accuracy",
+        help="Monte-Carlo localization accuracy of a calibration vs GT",
+    )
+    p.add_argument("--gt_state", required=True)
+    p.add_argument("--compared_state", required=True)
+    p.add_argument("--camera_index", type=int, default=0)
+    p.add_argument("--trials", type=int, default=1000)
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(func=cmd_localization_accuracy)
 
     args = parser.parse_args(argv)
     return args.func(args)

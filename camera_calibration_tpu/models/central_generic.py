@@ -297,35 +297,34 @@ def projection_sensitivities(model: CentralGenericModel, g_star):
     """
     dtype = model.grid.dtype
 
-    def one(g):
-        win, bx, by = bspline.gather_window_2d(model.grid, g[0], g[1])
-        tx = g[0] - (bx + 1).astype(dtype)
-        ty = g[1] - (by + 1).astype(dtype)
-        wx = bspline.cubic_bspline_weights(tx)
-        wy = bspline.cubic_bspline_weights(ty)
-        dwx = bspline.cubic_bspline_weight_derivs(tx)
-        dwy = bspline.cubic_bspline_weight_derivs(ty)
-        u = jnp.einsum("i,j,ijc->c", wy, wx, win)
-        du = jnp.stack(
-            [
-                jnp.einsum("i,j,ijc->c", wy, dwx, win),
-                jnp.einsum("i,j,ijc->c", dwy, wx, win),
-            ],
-            axis=-1,
-        )
-        un, n_jac = _normalize_with_jac(u)
-        big_u = n_jac @ du  # (3,2) = ∂un/∂g
-        uu = big_u.T @ big_u  # (2,2)
-        # P = (UᵀU)⁻¹ Uᵀ (2,3), via three 2x2 solves against the rows of U.
-        uu_inv_ut = solve2x2(jnp.broadcast_to(uu, (3, 2, 2)), big_u).T
-        sx, sy = pixel_scale_to_grid_scale(model)
-        inv_scale = jnp.asarray([1.0 / sx, 1.0 / sy], dtype)
-        p_px = uu_inv_ut * inv_scale[:, None]  # pixel = grid / scale
-        pn = p_px @ n_jac
-        weights = wy[:, None] * wx[None, :]
-        return p_px, pn, weights, jnp.stack([bx, by])
+    # fully batched: dense spline eval + closed-form normalize chain
+    u, du = bspline.eval_surface_dense_with_jac(model.grid, g_star)  # (N,3),(N,3,2)
+    norm = jnp.linalg.norm(u, axis=-1, keepdims=True)
+    un = u / norm
+    n_jac = (
+        jnp.eye(3, dtype=dtype)[None] - jnp.einsum("ni,nj->nij", un, un)
+    ) / norm[..., None]
+    big_u = jnp.einsum("nij,njk->nik", n_jac, du)  # (N,3,2) = ∂un/∂g
+    uu = jnp.einsum("nik,nil->nkl", big_u, big_u)  # (N,2,2)
+    # P = (UᵀU)⁻¹ Uᵀ (N,2,3), via 2x2 solves against the rows of U.
+    uu_inv_ut = jnp.swapaxes(
+        solve2x2(jnp.broadcast_to(uu[:, None], uu.shape[:1] + (3, 2, 2)), big_u),
+        -1,
+        -2,
+    )
+    sx, sy = pixel_scale_to_grid_scale(model)
+    inv_scale = jnp.asarray([1.0 / sx, 1.0 / sy], dtype)
+    p_px = uu_inv_ut * inv_scale[None, :, None]
+    pn = jnp.einsum("nik,nkl->nil", p_px, n_jac)
 
-    p_px, pn, weights, base = jax.vmap(one)(g_star)
+    base_x = jnp.floor(g_star[:, 0]).astype(jnp.int32) - 1
+    base_y = jnp.floor(g_star[:, 1]).astype(jnp.int32) - 1
+    tx = g_star[:, 0] - (base_x + 1).astype(dtype)
+    ty = g_star[:, 1] - (base_y + 1).astype(dtype)
+    wx = bspline.cubic_bspline_weights(tx)
+    wy = bspline.cubic_bspline_weights(ty)
+    weights = wy[:, :, None] * wx[:, None, :]  # (N,4,4) [y, x]
+    base = jnp.stack([base_x, base_y], axis=-1)
     return {
         "pix_wrt_dir": p_px,
         "pn": pn,
