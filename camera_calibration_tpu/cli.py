@@ -458,6 +458,200 @@ def cmd_localization_accuracy(args):
     return 0
 
 
+def cmd_fit_parametric(args):
+    """Fit parametric models to a generic calibration + residual report
+    (reference: fitting_report.h:56,206)."""
+    from camera_calibration_tpu.io import state_io
+    from camera_calibration_tpu.report.fitting_report import fit_and_report
+
+    state, _, _ = state_io.load_ba_state(args.state_directory)
+    model = state.intrinsics[args.camera_index]
+    fit_and_report(model, args.output_directory,
+                   model_names=tuple(args.models.split(",")))
+    return 0
+
+
+def cmd_intersect_datasets(args):
+    """Keep only features detected in all datasets within a pixel
+    threshold, matched by filename (reference: intersect_datasets.cc:41)."""
+    import numpy as np
+
+    from camera_calibration_tpu.io import dataset_bin
+
+    datasets = [dataset_bin.load_dataset(p) for p in args.dataset_files]
+    base = datasets[0]
+
+    def key_of(s, i):
+        return s.filenames[0] if s.filenames else str(i)
+
+    others_by_name = [
+        {key_of(s, i): s for i, s in enumerate(d.imagesets)}
+        for d in datasets[1:]
+    ]
+    kept = 0
+    dropped = 0
+    for i, s in enumerate(base.imagesets):
+        name = key_of(s, i)
+        partners = [m.get(name) for m in others_by_name]
+        for ci in range(base.num_cameras):
+            out_feats = []
+            for f in s.features[ci]:
+                ok = True
+                for p_set in partners:
+                    if p_set is None:
+                        ok = False
+                        break
+                    match = [
+                        g for g in p_set.features[ci]
+                        if g.feature_id == f.feature_id
+                        and np.linalg.norm(np.asarray(g.xy) - np.asarray(f.xy))
+                        <= args.threshold
+                    ]
+                    if not match:
+                        ok = False
+                        break
+                if ok:
+                    out_feats.append(f)
+                    kept += 1
+                else:
+                    dropped += 1
+            s.features[ci] = out_feats
+    dataset_bin.save_dataset(args.output, base)
+    print(f"kept {kept}, dropped {dropped}; wrote {args.output}")
+    return 0
+
+
+def cmd_compare_point_clouds(args):
+    """Similarity-align two point clouds (scaled umeyama) + distance stats
+    (reference: compare_point_clouds.cc:140-153)."""
+    import numpy as np
+
+    def load_obj(p):
+        pts = []
+        for line in open(p):
+            if line.startswith("v "):
+                v = line.split()
+                pts.append([float(v[1]), float(v[2]), float(v[3])])
+        return np.asarray(pts)
+
+    a = load_obj(args.cloud_a)
+    b = load_obj(args.cloud_b)
+    n = min(len(a), len(b))
+    if args.paired:
+        a, b = a[:n], b[:n]
+        # umeyama with scaling: align a -> b
+        mu_a, mu_b = a.mean(0), b.mean(0)
+        ac, bc = a - mu_a, b - mu_b
+        cov = bc.T @ ac / n
+        u, dvals, vt = np.linalg.svd(cov)
+        s_mat = np.eye(3)
+        if np.linalg.det(u) * np.linalg.det(vt) < 0:
+            s_mat[2, 2] = -1
+        r = u @ s_mat @ vt
+        var_a = (ac**2).sum() / n
+        c = np.trace(np.diag(dvals) @ s_mat) / var_a
+        t = mu_b - c * r @ mu_a
+        a_aligned = c * a @ r.T + t
+        d = np.linalg.norm(a_aligned - b, axis=-1)
+        print(
+            f"paired alignment: scale {c:.6f}; distance median "
+            f"{np.median(d):.6f} mean {d.mean():.6f} max {d.max():.6f}"
+        )
+    else:
+        # nearest-neighbor distances (no correspondence)
+        from scipy.spatial import cKDTree
+
+        tree = cKDTree(b)
+        d, _ = tree.query(a, k=1)
+        print(
+            f"nn distances a->b: median {np.median(d):.6f} mean "
+            f"{d.mean():.6f} p90 {np.percentile(d, 90):.6f}"
+        )
+    return 0
+
+
+def cmd_convert_dataset(args):
+    """Convert dataset.bin <-> JSON interchange
+    (reference: convert_dataset.cc)."""
+    import json
+
+    import numpy as np
+
+    from camera_calibration_tpu.ba.dataset import (
+        Dataset, Imageset, KnownGeometry, PointFeature,
+    )
+    from camera_calibration_tpu.io import dataset_bin
+
+    if args.input.endswith(".bin"):
+        ds = dataset_bin.load_dataset(args.input)
+        doc = {
+            "num_cameras": ds.num_cameras,
+            "image_sizes": [list(s) for s in ds.image_sizes],
+            "imagesets": [
+                {
+                    "filename": (s.filenames[0] if s.filenames else ""),
+                    "features": [
+                        [
+                            {"x": float(f.xy[0]), "y": float(f.xy[1]),
+                             "id": int(f.feature_id)}
+                            for f in cam_feats
+                        ]
+                        for cam_feats in s.features
+                    ],
+                }
+                for s in ds.imagesets
+            ],
+            "known_geometries": [
+                {
+                    "cell_length_in_meters": g.cell_length_in_meters,
+                    "feature_id_to_position": {
+                        str(k): list(v)
+                        for k, v in g.feature_id_to_position.items()
+                    },
+                }
+                for g in ds.known_geometries
+            ],
+        }
+        with open(args.output, "w") as f:
+            json.dump(doc, f)
+    else:
+        with open(args.input) as f:
+            doc = json.load(f)
+        ds = Dataset(
+            num_cameras=doc["num_cameras"],
+            image_sizes=[tuple(s) for s in doc["image_sizes"]],
+            imagesets=[
+                Imageset(
+                    features=[
+                        [
+                            PointFeature(
+                                xy=np.array([f["x"], f["y"]]),
+                                feature_id=f["id"],
+                            )
+                            for f in cam_feats
+                        ]
+                        for cam_feats in s["features"]
+                    ],
+                    filenames=[s.get("filename", "")],
+                )
+                for s in doc["imagesets"]
+            ],
+            known_geometries=[
+                KnownGeometry(
+                    cell_length_in_meters=g["cell_length_in_meters"],
+                    feature_id_to_position={
+                        int(k): tuple(v)
+                        for k, v in g["feature_id_to_position"].items()
+                    },
+                )
+                for g in doc["known_geometries"]
+            ],
+        )
+        dataset_bin.save_dataset(args.output, ds)
+    print(f"converted {args.input} -> {args.output}")
+    return 0
+
+
 def cmd_compare(args):
     """Fitting-error comparison of two calibrations (reference:
     tools/compare_calibrations.cc)."""
@@ -550,6 +744,36 @@ def main(argv=None):
     p.add_argument("state_a")
     p.add_argument("state_b")
     p.set_defaults(func=cmd_compare)
+
+    p = sub.add_parser("fit-parametric",
+                       help="fit parametric models to a generic calibration")
+    p.add_argument("--state_directory", required=True)
+    p.add_argument("--output_directory", required=True)
+    p.add_argument("--camera_index", type=int, default=0)
+    p.add_argument(
+        "--models",
+        default="central_thin_prism_fisheye,central_opencv,central_radial",
+    )
+    p.set_defaults(func=cmd_fit_parametric)
+
+    p = sub.add_parser("intersect-datasets",
+                       help="keep features present in all datasets")
+    p.add_argument("dataset_files", nargs="+")
+    p.add_argument("--output", required=True)
+    p.add_argument("--threshold", type=float, default=1.0)
+    p.set_defaults(func=cmd_intersect_datasets)
+
+    p = sub.add_parser("compare-point-clouds",
+                       help="align + compare two .obj point clouds")
+    p.add_argument("cloud_a")
+    p.add_argument("cloud_b")
+    p.add_argument("--paired", action="store_true")
+    p.set_defaults(func=cmd_compare_point_clouds)
+
+    p = sub.add_parser("convert-dataset", help="dataset.bin <-> JSON")
+    p.add_argument("input")
+    p.add_argument("output")
+    p.set_defaults(func=cmd_convert_dataset)
 
     p = sub.add_parser("render-synthetic", help="render a synthetic dataset")
     p.add_argument("--pattern_file", required=True)
