@@ -86,11 +86,39 @@ def densify_matches(
     sheet (use identity for the relative-pose stage).
     Returns (points (bh, bw, 3), valid (bh, bw)).
     """
+    from camera_calibration_tpu import native
+
     bw, bh = buffer_size
     w, h = image_size
     scale_x = w / bw
     scale_y = h / bh
     pts = np.full((bh, bw, 3), np.nan)
+
+    if native.available():
+        valid_u8 = np.zeros((bh, bw), np.uint8)
+        for geometry, pose in zip(geometries, geometry_poses):
+            if pose is None:
+                continue
+            r_kg, t_kg = pose
+            by_pos = _features_by_position(features, geometry)
+            corners, cells = [], []
+            for (cx, cy), p00 in by_pos.items():
+                p10 = by_pos.get((cx + 1, cy))
+                p11 = by_pos.get((cx + 1, cy + 1))
+                p01 = by_pos.get((cx, cy + 1))
+                if p10 is None or p11 is None or p01 is None:
+                    continue
+                corners.append(np.stack([p00, p10, p11, p01]))
+                cells.append((cx, cy))
+            if not corners:
+                continue
+            native.densify_matches_native(
+                np.stack(corners), np.asarray(cells, np.int64),
+                geometry.cell_length_in_meters,
+                np.asarray(r_kg, np.float64), np.asarray(t_kg, np.float64),
+                bw, bh, scale_x, scale_y, pts, valid_u8,
+            )
+        return pts, valid_u8.astype(bool)
 
     for geometry, pose in zip(geometries, geometry_poses):
         if pose is None:
