@@ -48,10 +48,17 @@ def _pytree(cls):
 
 @_pytree
 class GridIntr:
-    """Sparse intrinsics block for spline-grid models."""
+    """Sparse intrinsics block for spline-grid models.
 
-    j_win: jnp.ndarray  # (n, 2, 4, 4, 2) wrt window-knot tangents
+    oy/ox are dense 0/1 window-row/column indicators ((n,4,Hg)/(n,4,Wg));
+    with them the PCG gather/scatter of knot tangents becomes two MXU
+    einsum contractions instead of gather + segment_sum — markedly faster
+    on TPU since the indices are fixed for a whole LM iteration."""
+
+    j_win: jnp.ndarray  # (n, 2, 4, 4, K) wrt window-knot tangents
     win_flat: jnp.ndarray  # (n, 4, 4) int32 flat knot index gy*Wg+gx
+    oy: jnp.ndarray  # (n, 4, Hg) float 0/1
+    ox: jnp.ndarray  # (n, 4, Wg) float 0/1
 
 
 @_pytree
@@ -117,7 +124,18 @@ def _grid_projection_blocks(model, x_cam, warm_xy, max_proj_iterations, frames):
     j_win = -jnp.einsum(
         "nyx,nic,nyxcj->niyxj", sens["weights"], sens["pn"], win_frames
     )
-    return px, pvalid, a, GridIntr(j_win=j_win, win_flat=win_flat)
+    gh = model.grid.shape[0]
+    dtype = j_win.dtype
+    iota_h = jnp.arange(gh, dtype=by.dtype)
+    iota_w = jnp.arange(gw, dtype=bx.dtype)
+    oy = (
+        iota_h[None, None, :]
+        == (by[:, None] + jnp.arange(4, dtype=by.dtype))[..., None]
+    ).astype(dtype)
+    ox = (
+        iota_w[None, None, :] == (bx[:, None] + jnp.arange(4, dtype=bx.dtype))[..., None]
+    ).astype(dtype)
+    return px, pvalid, a, GridIntr(j_win=j_win, win_flat=win_flat, oy=oy, ox=ox)
 
 
 def _parametric_projection_blocks(model, x_cam):
@@ -162,7 +180,20 @@ def segment_blocks(
         )
         nblocks = ncg.projection_blocks(model, g, x_cam)
         a = nblocks["pix_wrt_x"]
-        intr = GridIntr(j_win=nblocks["j_win"], win_flat=nblocks["win_flat"])
+        wf = nblocks["win_flat"]
+        gh, gw = model.direction_grid.shape[:2]
+        dtype_j = nblocks["j_win"].dtype
+        gx_idx = wf[:, 0, :] % gw  # (n,4) column indices
+        gy_idx = wf[:, :, 0] // gw  # (n,4) row indices
+        oy = (
+            jnp.arange(gh, dtype=wf.dtype)[None, None, :] == gy_idx[..., None]
+        ).astype(dtype_j)
+        ox = (
+            jnp.arange(gw, dtype=wf.dtype)[None, None, :] == gx_idx[..., None]
+        ).astype(dtype_j)
+        intr = GridIntr(
+            j_win=nblocks["j_win"], win_flat=wf, oy=oy, ox=ox
+        )
     elif protocol.is_grid_model(model):
         px, pvalid, a, intr = _grid_projection_blocks(
             model, x_cam, warm_xy, max_proj_iterations, tangent_frames
@@ -196,6 +227,8 @@ def segment_blocks(
         intr = GridIntr(
             j_win=jnp.where(valid[:, None, None, None, None], intr.j_win, 0.0),
             win_flat=intr.win_flat,
+            oy=intr.oy,
+            ox=intr.ox,
         )
     else:
         intr = DenseIntr(j_params=jnp.where(mask3, intr.j_params, 0.0))
@@ -217,21 +250,19 @@ def segment_blocks(
 def intr_apply_j(intr, tangent_intr):
     """Intrinsics contribution to J·v: (n, 2)."""
     if isinstance(intr, GridIntr):
-        k = tangent_intr.shape[-1]
-        gflat = tangent_intr.reshape(-1, k)
-        return jnp.einsum("niyxj,nyxj->ni", intr.j_win, gflat[intr.win_flat])
+        # dense gather: window tangents via one-hot contractions (MXU)
+        rows = jnp.einsum("nyh,hwj->nywj", intr.oy, tangent_intr)
+        win = jnp.einsum("nxw,nywj->nyxj", intr.ox, rows)
+        return jnp.einsum("niyxj,nyxj->ni", intr.j_win, win)
     return jnp.einsum("nik,k->ni", intr.j_params, tangent_intr)
 
 
 def intr_apply_jtw(intr, ws, tangent_shape_like):
     """Intrinsics part of JᵀW·s, scattered into the tangent layout."""
     if isinstance(intr, GridIntr):
-        gh, gw, k = tangent_shape_like.shape
-        contrib = jnp.einsum("niyxj,ni->nyxj", intr.j_win, ws).reshape(-1, k)
-        idx = intr.win_flat.reshape(-1)
-        return jax.ops.segment_sum(contrib, idx, num_segments=gh * gw).reshape(
-            gh, gw, k
-        )
+        contrib = jnp.einsum("niyxj,ni->nyxj", intr.j_win, ws)
+        rows = jnp.einsum("nxw,nyxj->nywj", intr.ox, contrib)
+        return jnp.einsum("nyh,nywj->hwj", intr.oy, rows)
     return jnp.einsum("nik,ni->k", intr.j_params, ws)
 
 
