@@ -652,6 +652,22 @@ def cmd_convert_dataset(args):
     return 0
 
 
+def cmd_export_colmap(args):
+    """Export a saved calibration state to a COLMAP text model
+    (reference: libvis external_io/colmap_model.h)."""
+    from camera_calibration_tpu.io import colmap, dataset_bin, state_io
+
+    state, used, fid_map = state_io.load_ba_state(args.state_directory)
+    dataset = (
+        dataset_bin.load_dataset(args.dataset_files)
+        if args.dataset_files
+        else None
+    )
+    colmap.export_ba_state(args.output_directory, state, dataset, used, fid_map)
+    print(f"wrote COLMAP model to {args.output_directory}")
+    return 0
+
+
 def cmd_compare(args):
     """Fitting-error comparison of two calibrations (reference:
     tools/compare_calibrations.cc)."""
@@ -774,6 +790,12 @@ def main(argv=None):
     p.add_argument("input")
     p.add_argument("output")
     p.set_defaults(func=cmd_convert_dataset)
+
+    p = sub.add_parser("export-colmap", help="export state to a COLMAP model")
+    p.add_argument("--state_directory", required=True)
+    p.add_argument("--output_directory", required=True)
+    p.add_argument("--dataset_files")
+    p.set_defaults(func=cmd_export_colmap)
 
     p = sub.add_parser("render-synthetic", help="render a synthetic dataset")
     p.add_argument("--pattern_file", required=True)
