@@ -83,8 +83,14 @@ class PatternSpec:
         """Pattern intensity at positions (..., 2) in feature coords.
 
         1 = white, 0 = black, 0.5 at the (ill-defined) feature centers
-        (reference: h:115-130).  Vectorized NumPy.
+        (reference: h:115-130).  Uses the native oracle when built.
         """
+        from camera_calibration_tpu import native
+
+        if native.available():
+            return native.pattern_intensity_native(
+                np.asarray(positions, np.float64), self.num_star_segments
+            )
         pos = np.asarray(positions, np.float64)
         # fractional offset in [-0.5, 0.5] (round half away from zero)
         c = pos - np.sign(pos) * np.floor(np.abs(pos) + 0.5)
