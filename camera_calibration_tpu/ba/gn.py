@@ -20,7 +20,6 @@ the reference's split between lm_optimizer.h and cuda_joint_optimization.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Callable, NamedTuple
 
 import jax

@@ -47,7 +47,6 @@ from camera_calibration_tpu.ba.state import (
     retract,
     zero_tangent,
 )
-from camera_calibration_tpu.models import protocol
 from camera_calibration_tpu.ops import manifolds
 
 
@@ -154,30 +153,6 @@ def apply_jtw(data, blocks, s_list, state: BAState) -> BATangent:
             num_segments=pts.shape[0],
         )
         intr[ci] = intr[ci] + res.intr_apply_jtw(b.intr, ws, intr[ci])
-    return BATangent(rig=rig, cam=cam, points=pts, intr=tuple(intr))
-
-
-def jtwj_diag(data, blocks, state: BAState) -> BATangent:
-    """diag(JᵀWJ) — the Jacobi preconditioner's diagonal."""
-    t = zero_tangent(state)
-    rig, cam, pts = t.rig, t.cam, t.points
-    intr = list(t.intr)
-    for ci, seg in enumerate(data):
-        b = blocks[ci]
-        w = b.weight[:, None]
-        rig = rig + jax.ops.segment_sum(
-            jnp.sum(b.j_rig**2 * w[..., None], axis=1),
-            seg.imageset,
-            num_segments=rig.shape[0],
-            indices_are_sorted=True,
-        )
-        cam = cam.at[ci].add(jnp.sum(b.j_cam**2 * w[..., None], axis=(0, 1)))
-        pts = pts + jax.ops.segment_sum(
-            jnp.sum(b.j_point**2 * w[..., None], axis=1),
-            seg.point,
-            num_segments=pts.shape[0],
-        )
-        intr[ci] = intr[ci] + res.intr_jtwj_diag(b.intr, b.weight, intr[ci])
     return BATangent(rig=rig, cam=cam, points=pts, intr=tuple(intr))
 
 

@@ -99,7 +99,6 @@ def cmd_calibrate(args):
     import numpy as np
 
     from camera_calibration_tpu import calibrate as cal
-    from camera_calibration_tpu.ba.dataset import split_by_camera
     from camera_calibration_tpu.init.dense_init import (
         DenseInitializer,
         DenseInitOptions,
@@ -217,7 +216,6 @@ def cmd_extract_features(args):
 def cmd_report(args):
     from camera_calibration_tpu.ba.dataset import split_by_camera
     from camera_calibration_tpu.io import dataset_bin, state_io
-    from camera_calibration_tpu.init.state_init import feature_id_to_point_index
     from camera_calibration_tpu.report.calibration_report import (
         create_calibration_report,
     )

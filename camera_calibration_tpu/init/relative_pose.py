@@ -23,7 +23,6 @@ Implementation notes vs the reference:
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 

@@ -15,11 +15,7 @@ import numpy as np
 
 import jax.numpy as jnp
 
-from camera_calibration_tpu.ba.dataset import (
-    Dataset,
-    ObservationTable,
-    build_observation_table,
-)
+from camera_calibration_tpu.ba.dataset import Dataset, ObservationTable
 from camera_calibration_tpu.ba.state import BAState
 from camera_calibration_tpu.models.fit import fit_central_generic_to_dense
 from camera_calibration_tpu.ops import se3

@@ -20,7 +20,6 @@ from camera_calibration_tpu.ba.state import BAState
 from camera_calibration_tpu.models import central_generic as cg
 from camera_calibration_tpu.models import noncentral_generic as ncg
 from camera_calibration_tpu.models import parametric as pm
-from camera_calibration_tpu.ops import se3
 
 
 def save_camera_model(model, path, dtype_str="%.14g"):

@@ -13,7 +13,6 @@ families exist for optimization purposes:
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 from camera_calibration_tpu.models import central_generic as cg
