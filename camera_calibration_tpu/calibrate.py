@@ -179,15 +179,23 @@ def scale_to_metric(state: BAState, known_geometries, feature_id_to_point_index)
 
 
 def run_ba(state, data, max_iterations, cost_reduction_threshold, options,
-           callback=None):
+           callback=None, state_saver=None):
     ba_opts = lm_pcg.BAOptions(
         max_lm_iterations=max_iterations,
         max_pcg_iterations=options.max_pcg_iterations,
         huber_px=options.huber_px,
         cost_reduction_threshold=cost_reduction_threshold,
     )
-    return lm_pcg.optimize(state, None, None, ba_opts, data=data,
-                           callback=callback)
+
+    def cb(entry, st):
+        if callback is not None:
+            callback(entry, st)
+        # checkpoint after every accepted iteration (the reference saves
+        # the BA state each iteration, calibration.cc:242-245)
+        if state_saver is not None and entry["accepted"]:
+            state_saver(st)
+
+    return lm_pcg.optimize(state, None, None, ba_opts, data=data, callback=cb)
 
 
 def calibrate(
@@ -198,7 +206,11 @@ def calibrate(
     known_geometries=None,
     feature_id_to_point_index=None,
     log=print,
+    state_output_path=None,
 ):
+    """state_output_path: if set, the BA state is checkpointed there after
+    every accepted LM iteration (reference: calibration.cc:242-245) so a
+    crashed run resumes via --state_directory."""
     """Full calibration from an initialized state.
 
     state.intrinsics must already be at the *coarsest* pyramid resolution
@@ -206,6 +218,16 @@ def calibrate(
     Returns (state, report dict).
     """
     report = {"pyramid": [], "outliers_removed": 0, "scale_factor": 1.0}
+
+    state_saver = None
+    if state_output_path is not None and feature_id_to_point_index is not None:
+        from camera_calibration_tpu.io import state_io
+
+        def state_saver(st):
+            used = [True] * st.rig_q_global.shape[0]
+            state_io.save_ba_state(
+                state_output_path, st, used, feature_id_to_point_index
+            )
 
     grid_cameras = [
         ci for ci, m in enumerate(state.intrinsics) if protocol.is_grid_model(m)
@@ -222,10 +244,12 @@ def calibrate(
     for level in range(options.num_pyramid_levels - 1, 0, -1):
         log(f"[calibrate] pyramid level {level}")
         state, info1 = run_ba(
-            state, data, options.pyramid_iterations[0], 1e-4, options
+            state, data, options.pyramid_iterations[0], 1e-4, options,
+            state_saver=state_saver,
         )
         state, info2 = run_ba(
-            state, data, options.pyramid_iterations[1], 1.0, options
+            state, data, options.pyramid_iterations[1], 1.0, options,
+            state_saver=state_saver,
         )
         report["pyramid"].append(
             {"level": level, "cost": info2["final_cost"] or info1["final_cost"]}
@@ -250,14 +274,16 @@ def calibrate(
             if options.num_pyramid_levels == 1
             else options.pyramid_iterations[0]
         )
-        state, _ = run_ba(state, data, iters, 1e-4, options)
+        state, _ = run_ba(state, data, iters, 1e-4, options,
+                          state_saver=state_saver)
         data, removed = delete_outlier_features(
             state, data, options.outlier_removal_factor
         )
         report["outliers_removed"] = removed
         log(f"[calibrate] removed {removed} outlier observations")
 
-    state, info = run_ba(state, data, options.final_iterations, 1e-4, options)
+    state, info = run_ba(state, data, options.final_iterations, 1e-4, options,
+                         state_saver=state_saver)
     report["final_cost"] = info["final_cost"]
 
     if known_geometries and feature_id_to_point_index:

@@ -127,7 +127,67 @@ def cmd_calibrate(args):
 
     os.makedirs(args.output_directory, exist_ok=True)
 
-    # 2. dense initialization per camera
+    # 2. initial state: resume from a saved state directory, or dense init
+    if args.state_directory:
+        from camera_calibration_tpu.init.state_init import (
+            feature_id_to_point_index as fid_map_fn,
+        )
+
+        state, used, fid_to_idx = state_io.load_ba_state(
+            args.state_directory, dtype=dtype
+        )
+        if not fid_to_idx:
+            fid_to_idx = fid_map_fn(dataset)
+        # rebuild per-camera observation tables for the used imagesets
+        import numpy as np_
+        from camera_calibration_tpu.ba.dataset import ObservationTable
+
+        data = []
+        for ci in range(dataset.num_cameras):
+            ims, ptids, pixels = [], [], []
+            for i, s_ in enumerate(dataset.imagesets):
+                if i < len(used) and not used[i]:
+                    continue
+                for f in s_.features[ci]:
+                    if f.feature_id in fid_to_idx:
+                        ims.append(i)
+                        ptids.append(fid_to_idx[f.feature_id])
+                        pixels.append(np_.asarray(f.xy, np_.float64))
+            data.append(
+                ObservationTable(
+                    imageset=jnp.asarray(np_.array(ims, np_.int32)),
+                    camera=jnp.full(len(ims), ci, jnp.int32),
+                    point=jnp.asarray(np_.array(ptids, np_.int32)),
+                    pixel=jnp.asarray(
+                        np_.stack(pixels) if ims else np_.zeros((0, 2)), dtype
+                    ),
+                    valid=jnp.ones(len(ims), bool),
+                )
+            )
+        data = tuple(data)
+        print(f"[resume] loaded state from {args.state_directory}")
+        options = cal.CalibrateOptions(
+            num_pyramid_levels=1,  # resume continues at the loaded resolution
+            approx_pixels_per_cell=args.approx_pixels_per_cell,
+            outlier_removal_factor=args.outlier_removal_factor,
+            final_iterations=args.final_iterations,
+        )
+        state, data, rep = cal.calibrate(
+            state, data, options,
+            known_geometries=dataset.known_geometries,
+            feature_id_to_point_index=fid_to_idx,
+            state_output_path=os.path.join(args.output_directory, "state"),
+        )
+        print("[calibrate] report:", {
+            k: v for k, v in rep.items() if not isinstance(v, list)
+        })
+        used2 = [True] * state.rig_q_global.shape[0]
+        state_io.save_ba_state(
+            os.path.join(args.output_directory, "state"), state, used2,
+            fid_to_idx,
+        )
+        return 0
+
     results = []
     for ci in range(dataset.num_cameras):
         init = DenseInitializer(
@@ -168,6 +228,7 @@ def cmd_calibrate(args):
         options,
         known_geometries=dataset.known_geometries,
         feature_id_to_point_index=fid_to_idx,
+        state_output_path=os.path.join(args.output_directory, "state"),
     )
     print("[calibrate] report:", {
         k: v for k, v in rep.items() if not isinstance(v, list)
@@ -719,6 +780,10 @@ def main(argv=None):
                    choices=["float32", "float64"])
     p.add_argument("--report", action="store_true")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "--state_directory",
+        help="resume from a saved state instead of dense initialization",
+    )
     p.set_defaults(func=cmd_calibrate)
 
     p = sub.add_parser("extract-features", help="detector only")
