@@ -78,3 +78,46 @@ def test_detector_with_noise():
         [np.linalg.norm(f.xy - gt[corner_map[f.feature_id]]) for f in features]
     )
     assert np.median(errs) < 0.1, np.median(errs)
+
+
+def test_detector_harsh_conditions():
+    """Blur + vignetting + noise — closer to a real camera image."""
+    import cv2
+
+    spec, img, h_pp = _make_pattern_image(seed=9, noise=0.0)
+    h, w = img.shape
+    # optical blur, strong vignette, sensor noise
+    img = cv2.GaussianBlur(img, (5, 5), 1.2)
+    yy, xx = np.mgrid[0:h, 0:w]
+    r2 = ((xx - w / 2) / (w / 2)) ** 2 + ((yy - h / 2) / (h / 2)) ** 2
+    img = img * (1.0 - 0.35 * r2)
+    rng = np.random.default_rng(10)
+    img = np.clip(img + rng.normal(0, 0.03, img.shape), 0, 1)
+
+    gt = _gt_positions(spec, h_pp)
+    det = fdet.FeatureDetector([spec])
+    features, _ = det.detect(img)
+    assert len(features) > 0.5 * spec.feature_count(), len(features)
+    corner_map = pat.corners_for_patterns([spec])[0]
+    errs = np.asarray(
+        [np.linalg.norm(f.xy - gt[corner_map[f.feature_id]]) for f in features]
+    )
+    assert np.median(errs) < 0.15, np.median(errs)
+    assert (errs < 1.0).mean() > 0.95, (errs < 1.0).mean()
+
+
+def test_detector_gradient_refinement():
+    """The gradient-image symmetry refinement path (reference's
+    RefinementByGradient variants)."""
+    spec, img, h_pp = _make_pattern_image(seed=12, noise=0.01)
+    gt = _gt_positions(spec, h_pp)
+    det = fdet.FeatureDetector(
+        [spec], fdet.DetectorOptions(refinement_type="gradient")
+    )
+    features, _ = det.detect(img)
+    assert len(features) > 0.6 * spec.feature_count(), len(features)
+    corner_map = pat.corners_for_patterns([spec])[0]
+    errs = np.asarray(
+        [np.linalg.norm(f.xy - gt[corner_map[f.feature_id]]) for f in features]
+    )
+    assert np.median(errs) < 0.1, np.median(errs)
