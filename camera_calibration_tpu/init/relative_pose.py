@@ -301,3 +301,91 @@ def central_planar_relative_pose(clouds, weights=None):
         "optical_center": o_out,
         "ok": ok,
     }
+
+
+def central_3d_relative_pose(clouds, weights=None):
+    """Central camera + 3D calibration target relative pose.
+
+    (reference: relative_pose_initialization/central_camera_3d_target.cc:
+    33-209.)  clouds: (2, N, 3) 3D target points observed at two poses,
+    row i collinear with the optical center; weights: (N,) 0/1 row mask;
+    ≥10 effective rows required.  Returns dict with r (cloud1_tr_cloud0),
+    t, optical_center (in cloud 1's frame) and ok.
+    """
+    clouds = jnp.asarray(clouds)
+    dtype = clouds.dtype
+    n = clouds.shape[1]
+    w = jnp.ones((n,), dtype) if weights is None else jnp.asarray(weights, dtype)
+
+    q = clouds[1]  # fixed cloud
+    qp = clouds[0]
+    one = jnp.ones((n,), dtype)
+    zero4 = jnp.zeros((n, 4), dtype)
+    qp_h = jnp.concatenate([qp, one[:, None]], axis=-1)  # (N,4)
+
+    row_v = jnp.concatenate(
+        [q[:, 1:2] * qp_h, q[:, 2:3] * qp_h, qp_h, zero4, zero4], axis=-1
+    )  # (N, 20)
+    row_w = jnp.concatenate(
+        [q[:, 0:1] * qp_h, zero4, zero4, q[:, 2:3] * qp_h, qp_h], axis=-1
+    )
+    c = jnp.stack([row_v, row_w], axis=1).reshape(2 * n, 20)
+    c = c * jnp.repeat(w, 2)[:, None]
+
+    u_vec = _null_vector(c)
+
+    lam = jnp.sqrt(u_vec[0] ** 2 + u_vec[1] ** 2 + u_vec[2] ** 2)
+    u = u_vec / jnp.maximum(lam, 1e-300)
+
+    r = jnp.stack(
+        [
+            -u[12:15],
+            -u[4:7],
+            u[0:3],
+        ]
+    )
+    det = jnp.linalg.det(r)
+    sign = jnp.where(det < 0, -1.0, 1.0)
+    u = sign * u
+    r = sign * r
+
+    def pick(d1, d2, d3, n1, n2, n3):
+        """Choose the best-conditioned of three division variants."""
+        a1, a2, a3 = jnp.abs(d1), jnp.abs(d2), jnp.abs(d3)
+        v1 = n1 / jnp.where(a1 > 1e-300, d1, 1.0)
+        v2 = n2 / jnp.where(a2 > 1e-300, d2, 1.0)
+        v3 = n3 / jnp.where(a3 > 1e-300, d3, 1.0)
+        use1 = (a1 > a3) & (a1 > a2)
+        use2 = (~use1) & (a2 >= a3)
+        return jnp.where(use1, v1, jnp.where(use2, v2, v3))
+
+    # optical center (cc:138-195; variant selection avoids near-zero denoms)
+    ox = pick(
+        r[2, 0] * r[0, 1] - r[2, 1] * r[0, 0],
+        r[2, 1] * r[0, 2] - r[2, 2] * r[0, 1],
+        r[2, 0] * r[0, 2] - r[2, 2] * r[0, 0],
+        -(u[16] * r[0, 1] - u[17] * r[0, 0]),
+        -(u[17] * r[0, 2] - u[18] * r[0, 1]),
+        -(u[16] * r[0, 2] - u[18] * r[0, 0]),
+    )
+    oy = pick(
+        r[2, 0] * r[1, 1] - r[2, 1] * r[1, 0],
+        r[2, 1] * r[1, 2] - r[2, 2] * r[1, 1],
+        r[2, 0] * r[1, 2] - r[2, 2] * r[1, 0],
+        -(u[8] * r[1, 1] - u[9] * r[1, 0]),
+        -(u[9] * r[1, 2] - u[10] * r[1, 1]),
+        -(u[8] * r[1, 2] - u[10] * r[1, 0]),
+    )
+    oz = pick(
+        r[1, 0] * r[2, 1] - r[1, 1] * r[2, 0],
+        r[1, 1] * r[2, 2] - r[1, 2] * r[2, 1],
+        r[1, 0] * r[2, 2] - r[1, 2] * r[2, 0],
+        u[8] * r[2, 1] - u[9] * r[2, 0],
+        u[9] * r[2, 2] - u[10] * r[2, 1],
+        u[8] * r[2, 2] - u[10] * r[2, 0],
+    )
+    o = jnp.stack([ox, oy, oz])
+    t = jnp.stack([ox - u[15], oy - u[7], u[3] + oz])
+
+    ok = jnp.all(jnp.isfinite(o)) & jnp.all(jnp.isfinite(t)) & (lam > 1e-12)
+    return {"r": r, "t": t, "optical_center": o, "ok": ok}

@@ -66,3 +66,40 @@ def test_central_planar_masked_rows():
     out = central_planar_relative_pose(jnp.asarray(clouds_pad), jnp.asarray(w))
     assert bool(out["ok"])
     np.testing.assert_allclose(np.asarray(out["optical_center"]), o_gt, atol=1e-6)
+
+
+def test_central_3d_recovers_pose():
+    """(reference analog: the central+3D variant in
+    relative_pose_initialization_test.cc)"""
+    from camera_calibration_tpu.init.relative_pose import central_3d_relative_pose
+
+    for seed in range(3):
+        rng = np.random.default_rng(100 + seed)
+        # camera center in cloud1's frame
+        o = np.array([rng.uniform(-0.3, 0.3), rng.uniform(-0.3, 0.3),
+                      rng.uniform(-1.6, -0.9)])
+        r_gt = np.asarray(
+            se3.quat_to_matrix(se3.quat_exp(jnp.asarray(rng.normal(0, 0.2, 3))))
+        )
+        t_gt = rng.normal(0, 0.2, 3)
+        n = 40
+        clouds = np.zeros((2, n, 3))
+        for i in range(n):
+            # random ray through O; two 3D target points on it, one per cloud
+            d = rng.normal(0, 1, 3)
+            d /= np.linalg.norm(d)
+            if d[2] < 0:
+                d = -d
+            s1 = rng.uniform(0.8, 2.0)
+            p1 = o + s1 * d  # point of cloud1, in cloud1's frame
+            s0 = rng.uniform(0.8, 2.0)
+            x0 = o + s0 * d  # point of cloud0, in cloud1's frame
+            p0 = r_gt.T @ (x0 - t_gt)  # cloud0's own frame
+            clouds[1, i] = p1
+            clouds[0, i] = p0
+        out = central_3d_relative_pose(jnp.asarray(clouds))
+        assert bool(out["ok"]), seed
+        np.testing.assert_allclose(np.asarray(out["r"]), r_gt, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(out["t"]), t_gt, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(out["optical_center"]), o,
+                                   atol=1e-6)
