@@ -68,6 +68,10 @@ class BAOptions:
     lambda_min: float = 1e-10
     cost_reduction_threshold: float = 1e-5  # relative; reference: 1e-4 / 1.0
     max_consecutive_rejects: int = 3
+    # variable groups to freeze ("poses", "extrinsics", "points",
+    # "intrinsics"); freezing points+intrinsics = the reference's
+    # --localize_only mode
+    freeze: tuple = ()
 
 
 def _tree_dot(a, b):
@@ -465,7 +469,7 @@ def total_cost(data, state, warm_xy, options):
 
 def lm_step(state, warm_xy, lam, data, options: BAOptions):
     """One LM iteration (pure; jit over (state, warm_xy, lam, data))."""
-    mask = fix_gauge_mask(state)
+    mask = fix_gauge_mask(state, options.freeze)
     blocks, warm1 = compute_blocks(data, state, warm_xy, options)
     grad = apply_jtw(data, blocks, [b.r for b in blocks], state)
     grad = _masked(grad, mask)
@@ -485,7 +489,10 @@ def lm_step(state, warm_xy, lam, data, options: BAOptions):
     mean_diag = diag_sum / n_params
     lam = jnp.where(lam < 0, options.lambda_initial_factor * mean_diag, lam)
 
-    solve = schur_pcg_solve if options.solver == "schur" else pcg_solve
+    # point elimination assumes free points; fall back to the full-system
+    # solve when they are frozen
+    use_schur = options.solver == "schur" and "points" not in options.freeze
+    solve = schur_pcg_solve if use_schur else pcg_solve
     delta, pcg_iters = solve(
         data, blocks, state, grad, block_diag, lam, mask, options
     )

@@ -88,20 +88,39 @@ def retract(state: BAState, tangent: BATangent, scale=1.0) -> BAState:
     )
 
 
-def fix_gauge_mask(state: BAState) -> BATangent:
+def fix_gauge_mask(state: BAState, freeze=()) -> BATangent:
     """Multipliers that freeze the first camera's extrinsics (identity rig
     anchor).  With a single camera the reference parameterizes no
     camera_tr_rig at all (joint_optimization.cc:100-116); here we keep the
     array but zero its tangent, which is equivalent.
+
+    freeze: iterable of variable-group names to freeze entirely —
+    "poses", "extrinsics", "points", "intrinsics".  Freezing
+    points+intrinsics gives the reference's --localize_only mode
+    (calibration.cc); the reference test harness has the same per-group
+    toggles (test/util.h:279-282).
     """
-    cam_mask = jnp.ones(state.cam_q_rig.shape[:1] + (6,), state.cam_t_rig.dtype)
+    freeze = set(freeze)
+    dtype = state.cam_t_rig.dtype
+    rig_mask = jnp.full(
+        state.rig_q_global.shape[:1] + (6,),
+        0.0 if "poses" in freeze else 1.0, state.rig_t_global.dtype,
+    )
+    cam_mask = jnp.full(
+        state.cam_q_rig.shape[:1] + (6,),
+        0.0 if "extrinsics" in freeze else 1.0, dtype,
+    )
     cam_mask = cam_mask.at[0].set(0.0)
+    pts_mask = jnp.full_like(
+        state.points, 0.0 if "points" in freeze else 1.0
+    )
+    intr_scale = 0.0 if "intrinsics" in freeze else 1.0
     return BATangent(
-        rig=jnp.ones(state.rig_q_global.shape[:1] + (6,), state.rig_t_global.dtype),
+        rig=rig_mask,
         cam=cam_mask,
-        points=jnp.ones_like(state.points),
+        points=pts_mask,
         intr=tuple(
-            jnp.ones_like(protocol.intrinsics_tangent_zero(m))
+            jnp.full_like(protocol.intrinsics_tangent_zero(m), intr_scale)
             for m in state.intrinsics
         ),
     )

@@ -38,6 +38,9 @@ class CalibrateOptions:
     pyramid_iterations: tuple = (10, 50)
     max_pcg_iterations: int = 50
     huber_px: float = 1.0
+    # freeze groups ("points", "intrinsics", ...): the reference's
+    # --localize_only is freeze=("points", "intrinsics")
+    freeze: tuple = ()
 
 
 def compute_grid_resolution(calib_w, calib_h, approx_pixels_per_cell,
@@ -185,6 +188,7 @@ def run_ba(state, data, max_iterations, cost_reduction_threshold, options,
         max_pcg_iterations=options.max_pcg_iterations,
         huber_px=options.huber_px,
         cost_reduction_threshold=cost_reduction_threshold,
+        freeze=tuple(options.freeze),
     )
 
     def cb(entry, st):
@@ -241,7 +245,12 @@ def calibrate(
             options.approx_pixels_per_cell,
         )
 
-    for level in range(options.num_pyramid_levels - 1, 0, -1):
+    # reference: pyramid loop only runs when intrinsics are optimized
+    # (calibration.cc:1050 "pyramid_level > 0 && !localize_only")
+    pyramid_levels = (
+        0 if "intrinsics" in options.freeze else options.num_pyramid_levels
+    )
+    for level in range(pyramid_levels - 1, 0, -1):
         log(f"[calibrate] pyramid level {level}")
         state, info1 = run_ba(
             state, data, options.pyramid_iterations[0], 1e-4, options,
@@ -286,7 +295,10 @@ def calibrate(
                          state_saver=state_saver)
     report["final_cost"] = info["final_cost"]
 
-    if known_geometries and feature_id_to_point_index:
+    # reference skips metric scaling in localize-only mode
+    # (calibration.cc:1136-1139)
+    if (known_geometries and feature_id_to_point_index
+            and "points" not in options.freeze):
         state, factor = scale_to_metric(
             state, known_geometries, feature_id_to_point_index
         )

@@ -171,6 +171,7 @@ def cmd_calibrate(args):
             approx_pixels_per_cell=args.approx_pixels_per_cell,
             outlier_removal_factor=args.outlier_removal_factor,
             final_iterations=args.final_iterations,
+            freeze=("points", "intrinsics") if args.localize_only else (),
         )
         state, data, rep = cal.calibrate(
             state, data, options,
@@ -221,6 +222,7 @@ def cmd_calibrate(args):
         approx_pixels_per_cell=args.approx_pixels_per_cell,
         outlier_removal_factor=args.outlier_removal_factor,
         final_iterations=args.final_iterations,
+        freeze=("points", "intrinsics") if args.localize_only else (),
     )
     state, data, rep = cal.calibrate(
         state,
@@ -783,6 +785,10 @@ def main(argv=None):
     p.add_argument(
         "--state_directory",
         help="resume from a saved state instead of dense initialization",
+    )
+    p.add_argument(
+        "--localize_only", action="store_true",
+        help="freeze intrinsics and pattern points; optimize poses only",
     )
     p.set_defaults(func=cmd_calibrate)
 

@@ -146,3 +146,34 @@ def test_noncentral_ba_reconverges():
     err = np.asarray(ba_harness.reprojection_errors(state, obs, segments))
     assert np.median(err[np.isfinite(err)]) < 2e-3, (
         np.median(err[np.isfinite(err)]), info["final_cost"])
+
+
+def test_localize_only_mode():
+    """Freezing points+intrinsics must only move poses (the reference's
+    --localize_only mode)."""
+    import jax.numpy as jnp
+
+    state_gt, obs, segments = ba_harness.make_problem(
+        seed=8, n_points=40, n_poses=8
+    )
+    # perturb only poses; localize-only must recover them
+    state0 = ba_harness.perturb_state(
+        state_gt, seed=9, pose_rot=0.01, pose_t=0.01, point_sigma=0.0,
+        knot_sigma=0.0,
+    )
+    options = lm_pcg.BAOptions(
+        max_lm_iterations=20, max_pcg_iterations=40,
+        cost_reduction_threshold=1e-8,
+        freeze=("points", "intrinsics"),
+    )
+    state, info = lm_pcg.optimize(state0, obs, segments, options)
+    # points and intrinsics untouched
+    np.testing.assert_array_equal(
+        np.asarray(state.points), np.asarray(state0.points)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(state.intrinsics[0].grid),
+        np.asarray(state0.intrinsics[0].grid),
+    )
+    err = np.asarray(ba_harness.reprojection_errors(state, obs, segments))
+    assert np.median(err[np.isfinite(err)]) < 1e-3, np.median(err)
