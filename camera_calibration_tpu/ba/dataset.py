@@ -109,7 +109,12 @@ def split_by_camera(obs: ObservationTable, segments) -> tuple:
 
 
 def pad_table(obs: ObservationTable, multiple: int) -> ObservationTable:
-    """Pad a table's observation axis to a multiple (invalid rows)."""
+    """Pad a table's observation axis to a multiple (invalid rows).
+
+    Index columns are padded with their last entry (not 0) so that a
+    pose-major sorted table stays sorted after padding — padded rows are
+    masked invalid and contribute zeros regardless.
+    """
     n = obs.count
     cap = ((n + multiple - 1) // multiple) * multiple
     if cap == n:
@@ -120,10 +125,14 @@ def pad_table(obs: ObservationTable, multiple: int) -> ObservationTable:
         widths = [(0, pad)] + [(0, 0)] * (a.ndim - 1)
         return jnp.pad(a, widths, constant_values=fill)
 
+    def pad_idx(a):
+        fill = a[-1] if a.shape[0] else jnp.zeros((), a.dtype)
+        return jnp.concatenate([a, jnp.full((pad,), fill, a.dtype)])
+
     return ObservationTable(
-        imageset=pad_arr(obs.imageset),
-        camera=pad_arr(obs.camera),
-        point=pad_arr(obs.point),
+        imageset=pad_idx(obs.imageset),
+        camera=pad_idx(obs.camera),
+        point=pad_idx(obs.point),
         pixel=pad_arr(obs.pixel),
         valid=pad_arr(obs.valid, False),
     )

@@ -175,6 +175,8 @@ def lm_solve(
         test_state = retract_fn(state, x)
         test_cost = cost_of(test_state)
         accept = test_cost < cost
+        # relative improvement measured against the pre-update cost
+        rel_impr = (cost - test_cost) / jnp.maximum(cost, 1e-30)
         state = jax.tree_util.tree_map(
             lambda a, b_: jnp.where(accept, b_, a), state, test_state
         )
@@ -182,9 +184,8 @@ def lm_solve(
         lam = jnp.maximum(
             jnp.where(accept, 0.5 * lam, 2.0 * lam), lambda_min
         )
-        # done when a rejected step or tiny relative improvement
-        rel_impr = (cost - test_cost) / jnp.maximum(cost, 1e-30)
-        done = done | ((~accept) & (lam > 1e8)) | (accept & (rel_impr < 0))
+        # done on runaway lambda (many rejects) or a converged accept
+        done = done | ((~accept) & (lam > 1e8)) | (accept & (rel_impr < 1e-9))
         return state, lam, cost, it + 1, done
 
     def cond(carry):

@@ -148,7 +148,6 @@ def apply_jtw(data, blocks, s_list, state: BAState) -> BATangent:
             jnp.einsum("nik,ni->nk", b.j_rig, ws),
             seg.imageset,
             num_segments=rig.shape[0],
-            indices_are_sorted=True,  # tables are built pose-major
         )
         cam = cam.at[ci].add(jnp.sum(jnp.einsum("nik,ni->nk", b.j_cam, ws), axis=0))
         pts = pts + jax.ops.segment_sum(
@@ -187,7 +186,6 @@ def jtwj_block_diag(data, blocks, state: BAState):
             jnp.einsum("nij,nik,n->njk", b.j_rig, b.j_rig, w),
             seg.imageset,
             num_segments=m,
-            indices_are_sorted=True,
         )
         cam = cam.at[ci].add(
             jnp.einsum("nij,nik,n->jk", b.j_cam, b.j_cam, w)
@@ -277,7 +275,6 @@ def _apply_jt_cam(data, blocks, s_list, state: BAState) -> BATangent:
             jnp.einsum("nik,ni->nk", b.j_rig, ws),
             seg.imageset,
             num_segments=rig.shape[0],
-            indices_are_sorted=True,
         )
         cam = cam.at[ci].add(jnp.sum(jnp.einsum("nik,ni->nk", b.j_cam, ws), axis=0))
         intr[ci] = intr[ci] + res.intr_apply_jtw(b.intr, ws, intr[ci])

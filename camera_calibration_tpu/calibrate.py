@@ -211,6 +211,7 @@ def calibrate(
     feature_id_to_point_index=None,
     log=print,
     state_output_path=None,
+    image_used=None,
 ):
     """state_output_path: if set, the BA state is checkpointed there after
     every accepted LM iteration (reference: calibration.cc:242-245) so a
@@ -228,7 +229,14 @@ def calibrate(
         from camera_calibration_tpu.io import state_io
 
         def state_saver(st):
-            used = [True] * st.rig_q_global.shape[0]
+            # Persist the real image_used set: never-localized imagesets
+            # still carry identity rig poses, and recording them as used
+            # would inject gross outliers on --state_directory resume
+            # (the reference's SaveBAState persists the same set).
+            used = (
+                list(image_used) if image_used is not None
+                else [True] * st.rig_q_global.shape[0]
+            )
             state_io.save_ba_state(
                 state_output_path, st, used, feature_id_to_point_index
             )

@@ -173,18 +173,22 @@ def cmd_calibrate(args):
             final_iterations=args.final_iterations,
             freeze=("points", "intrinsics") if args.localize_only else (),
         )
+        if len(used) < state.rig_q_global.shape[0]:
+            used = list(used) + [True] * (
+                state.rig_q_global.shape[0] - len(used)
+            )
         state, data, rep = cal.calibrate(
             state, data, options,
             known_geometries=dataset.known_geometries,
             feature_id_to_point_index=fid_to_idx,
             state_output_path=os.path.join(args.output_directory, "state"),
+            image_used=used,
         )
         print("[calibrate] report:", {
             k: v for k, v in rep.items() if not isinstance(v, list)
         })
-        used2 = [True] * state.rig_q_global.shape[0]
         state_io.save_ba_state(
-            os.path.join(args.output_directory, "state"), state, used2,
+            os.path.join(args.output_directory, "state"), state, used,
             fid_to_idx,
         )
         return 0
@@ -212,7 +216,7 @@ def cmd_calibrate(args):
     coarse = cal.grid_resolution_for_level(
         args.num_pyramid_levels - 1, *full_res
     )
-    state, data, fid_to_idx = build_ba_state(
+    state, data, fid_to_idx, image_used = build_ba_state(
         dataset, results, (max(4, coarse[1]), max(4, coarse[0])), dtype=dtype
     )
 
@@ -231,15 +235,16 @@ def cmd_calibrate(args):
         known_geometries=dataset.known_geometries,
         feature_id_to_point_index=fid_to_idx,
         state_output_path=os.path.join(args.output_directory, "state"),
+        image_used=image_used,
     )
     print("[calibrate] report:", {
         k: v for k, v in rep.items() if not isinstance(v, list)
     })
 
     # 5. save state + report
-    used = [True] * state.rig_q_global.shape[0]
     state_io.save_ba_state(
-        os.path.join(args.output_directory, "state"), state, used, fid_to_idx
+        os.path.join(args.output_directory, "state"), state, image_used,
+        fid_to_idx,
     )
     if args.report:
         from camera_calibration_tpu.report.calibration_report import (

@@ -87,10 +87,14 @@ def build_ba_state(
     grid_resolution,
     dtype=jnp.float64,
 ):
-    """(BAState, per-camera data tuple, fid_to_idx) from dense init results.
+    """(BAState, per-camera data tuple, fid_to_idx, image_used) from dense
+    init results.
 
     dense_results: list of DenseInitResult, one per camera (camera 0's
-    frame anchors the rig).
+    frame anchors the rig).  image_used[i] is True iff imageset i was
+    localized by every camera; never-localized imagesets keep identity rig
+    poses and MUST be excluded when saving/resuming BA state (the
+    reference's BAState carries the same image_used set, ba_state.h:46-97).
     """
     n_cameras = dataset.num_cameras
     n_sets = len(dataset.imagesets)
@@ -186,4 +190,4 @@ def build_ba_state(
                 valid=jnp.ones(n, bool),
             )
         )
-    return state, tuple(data), fid_to_idx
+    return state, tuple(data), fid_to_idx, used

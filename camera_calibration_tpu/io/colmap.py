@@ -56,6 +56,17 @@ def _camera_to_colmap(cam):
             p[6], p[7], p[8], p[9],
         ]
     if isinstance(cam, pm.CentralThinPrismFisheyeModel):
+        if not cam.use_equidistant_projection:
+            # COLMAP's THIN_PRISM_FISHEYE always applies the equidistant
+            # (atan-based fisheye) pre-step; exporting a non-equidistant TPF
+            # model to that COLMAP type would silently change semantics.
+            raise TypeError(
+                "CentralThinPrismFisheyeModel without the equidistant "
+                "projection step has no COLMAP counterpart "
+                "(COLMAP THIN_PRISM_FISHEYE is always equidistant); "
+                "re-fit with use_equidistant_projection=True or use "
+                "FULL_OPENCV via CentralOpenCVModel"
+            )
         p = np.asarray(cam.params)
         # COLMAP THIN_PRISM_FISHEYE: fx fy cx cy k1 k2 p1 p2 k3 k4 sx1 sy1
         return "THIN_PRISM_FISHEYE", cam.width, cam.height, [
@@ -100,9 +111,11 @@ def _camera_from_colmap(model_name, width, height, params):
         full[7] = params[9]  # k4
         full[10] = params[10]  # sx1
         full[11] = params[11]  # sy1
+        # COLMAP's THIN_PRISM_FISHEYE includes the atan(r)/r equidistant
+        # pre-step, matching use_equidistant_projection=True.
         return pm.CentralThinPrismFisheyeModel(
             params=jnp.asarray(full), width=width, height=height,
-            use_equidistant_projection=False,
+            use_equidistant_projection=True,
         )
     raise ValueError(f"unsupported COLMAP camera model: {model_name}")
 

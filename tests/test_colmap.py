@@ -23,7 +23,7 @@ def test_colmap_roundtrip(tmp_path):
                 [350.0, 355.0, 320.0, 240.0, 0.2, -0.1, 0.05, -0.01,
                  1e-4, 2e-4, 3e-5, -4e-5]
             ),
-            width=640, height=480, use_equidistant_projection=False,
+            width=640, height=480, use_equidistant_projection=True,
         ),
     }
     images = [
@@ -62,6 +62,19 @@ def test_colmap_roundtrip(tmp_path):
     assert im.name == "img0.png"
     assert im.points2d[1] == (30.0, 40.0, 2)
     np.testing.assert_allclose(m2.points3d[2][0], points3d[2][0], atol=1e-10)
+    # COLMAP's THIN_PRISM_FISHEYE is inherently equidistant — the round trip
+    # must preserve the flag...
+    assert m2.cameras[3].use_equidistant_projection
+    # ...and exporting a non-equidistant TPF model must refuse rather than
+    # silently change projection semantics.
+    import pytest
+
+    bad = pm.CentralThinPrismFisheyeModel(
+        params=cams[3].params, width=640, height=480,
+        use_equidistant_projection=False,
+    )
+    with pytest.raises(TypeError):
+        colmap._camera_to_colmap(bad)
 
 
 def test_export_ba_state(tmp_path):

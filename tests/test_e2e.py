@@ -29,7 +29,7 @@ def test_e2e_mono_central_generic():
     assert result is not None
     assert sum(result.image_used) >= 8
 
-    state, data, fid_to_idx = build_ba_state(ds, [result], (6, 6))
+    state, data, fid_to_idx, image_used = build_ba_state(ds, [result], (6, 6))
 
     options = cal.CalibrateOptions(
         num_pyramid_levels=2,
