@@ -24,21 +24,20 @@ import numpy as np
 BASELINE_LM_ITERS_PER_S = 1.0
 
 
-def main():
+def make_bench_problem(w=640, h=480, gres=16, n_points=1024, n_poses=256,
+                       seed=0):
+    """Synthetic CentralGeneric mono problem (state, data tuple, meta)."""
     import jax
     import jax.numpy as jnp
 
     import camera_calibration_tpu  # noqa: F401
-    from camera_calibration_tpu.ba import lm_pcg
     from camera_calibration_tpu.ba.dataset import ObservationTable
     from camera_calibration_tpu.ba.state import BAState
     from camera_calibration_tpu.models import central_generic as cg
     from camera_calibration_tpu.ops import se3
 
     dtype = jnp.float32
-    rng = np.random.default_rng(0)
-    w, h, gres = 640, 480, 16
-    n_points, n_poses = 1024, 256
+    rng = np.random.default_rng(seed)
 
     fx = fy = 0.85 * w
     yy, xx = np.meshgrid(np.arange(gres), np.arange(gres), indexing="ij")
@@ -108,6 +107,18 @@ def main():
         points=state.points + jnp.asarray(rng.normal(0, 0.003, pts.shape), dtype),
         intrinsics=state.intrinsics,
     )
+    return state, data, {"n_obs": n, "gres": gres}
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from camera_calibration_tpu.ba import lm_pcg
+
+    dtype = jnp.float32
+    state, data, meta = make_bench_problem()
+    n, gres = meta["n_obs"], meta["gres"]
 
     # Inexact-Newton cap: 20 CG iterations per LM step is where
     # time-to-convergence is best on this problem (the tail of a 50-iter

@@ -54,9 +54,14 @@ from camera_calibration_tpu.ops import manifolds
 class BAOptions:
     max_lm_iterations: int = 30
     max_pcg_iterations: int = 50
-    # Solver mode: "schur" eliminates the 3x3 point blocks and runs PCG on
-    # the reduced camera system (reference point-elimination SchurMode);
-    # "pcg" runs PCG on the full system.
+    # Solver mode — the reference's SchurMode family
+    # (joint_optimization.cc:794-814, Readme.md:330-352) mapped to TPU:
+    #   "schur"       eliminate the 3×3 point blocks, PCG on the reduced
+    #                 camera system (block=3 point elimination);
+    #   "schur_poses" eliminate the 6×6 imageset pose blocks, PCG on the
+    #                 reduced points+cam+intrinsics system (block=6 pose
+    #                 elimination — the reference default);
+    #   "pcg"         PCG on the full system (no elimination).
     solver: str = "schur"
     # Inexact-Newton forcing: stop CG when the residual drops below this
     # fraction of ||b||. LM test steps don't need exact solves; the
@@ -249,111 +254,155 @@ def make_block_preconditioner(block_diag, lam, state):
     return apply
 
 
-def _apply_j_cam(data, blocks, tangent: BATangent):
-    """J·v restricted to the camera-side variables (rig, cam, intrinsics)."""
+def _apply_j_subset(data, blocks, tangent: BATangent, *, rig=True, cam=True,
+                    points=True, intr=True):
+    """J·v restricted to a subset of the variable groups."""
     outs = []
     for ci, seg in enumerate(data):
         b = blocks[ci]
-        s = (
-            jnp.einsum("nik,nk->ni", b.j_rig, tangent.rig[seg.imageset])
-            + jnp.einsum("nik,k->ni", b.j_cam, tangent.cam[ci])
-            + res.intr_apply_j(b.intr, tangent.intr[ci])
-        )
+        s = jnp.zeros_like(b.r)
+        if rig:
+            s = s + jnp.einsum("nik,nk->ni", b.j_rig, tangent.rig[seg.imageset])
+        if cam:
+            s = s + jnp.einsum("nik,k->ni", b.j_cam, tangent.cam[ci])
+        if points:
+            s = s + jnp.einsum(
+                "nik,nk->ni", b.j_point, tangent.points[seg.point]
+            )
+        if intr:
+            s = s + res.intr_apply_j(b.intr, tangent.intr[ci])
         outs.append(s)
     return outs
 
 
-def _apply_jt_cam(data, blocks, s_list, state: BAState) -> BATangent:
-    """JᵀW·s restricted to camera-side variables (points left zero)."""
+def _apply_jt_subset(data, blocks, s_list, state: BAState, *, rig=True,
+                     cam=True, points=True, intr=True) -> BATangent:
+    """JᵀW·s restricted to a subset of groups (others left zero)."""
     t = zero_tangent(state)
-    rig, cam = t.rig, t.cam
-    intr = list(t.intr)
+    rig_t, cam_t, pts_t = t.rig, t.cam, t.points
+    intr_t = list(t.intr)
     for ci, seg in enumerate(data):
         b = blocks[ci]
         ws = s_list[ci] * b.weight[:, None]
-        rig = rig + jax.ops.segment_sum(
-            jnp.einsum("nik,ni->nk", b.j_rig, ws),
-            seg.imageset,
-            num_segments=rig.shape[0],
-        )
-        cam = cam.at[ci].add(jnp.sum(jnp.einsum("nik,ni->nk", b.j_cam, ws), axis=0))
-        intr[ci] = intr[ci] + res.intr_apply_jtw(b.intr, ws, intr[ci])
-    return BATangent(rig=rig, cam=cam, points=t.points, intr=tuple(intr))
+        if rig:
+            rig_t = rig_t + jax.ops.segment_sum(
+                jnp.einsum("nik,ni->nk", b.j_rig, ws),
+                seg.imageset,
+                num_segments=rig_t.shape[0],
+            )
+        if cam:
+            cam_t = cam_t.at[ci].add(
+                jnp.sum(jnp.einsum("nik,ni->nk", b.j_cam, ws), axis=0)
+            )
+        if points:
+            pts_t = pts_t + jax.ops.segment_sum(
+                jnp.einsum("nik,ni->nk", b.j_point, ws),
+                seg.point,
+                num_segments=pts_t.shape[0],
+            )
+        if intr:
+            intr_t[ci] = intr_t[ci] + res.intr_apply_jtw(b.intr, ws, intr_t[ci])
+    return BATangent(rig=rig_t, cam=cam_t, points=pts_t, intr=tuple(intr_t))
 
 
-def _apply_j_pt(data, blocks, v_points):
-    """J·v for the point variables only."""
-    return [
-        jnp.einsum("nik,nk->ni", blocks[ci].j_point, v_points[seg.point])
-        for ci, seg in enumerate(data)
-    ]
+def schur_pcg_solve(data, blocks, state, grad, block_diag, lam, mask, options,
+                    eliminate: str = "points"):
+    """Solve (JᵀWJ + λI) δ = −grad by block elimination + PCG.
 
+    eliminate="points": eliminate the 3×3 point blocks, PCG on the reduced
+    camera system S = A − B D⁻¹ Bᵀ (reference block=3 SchurMode,
+    joint_optimization.cc:794-814).
+    eliminate="poses": eliminate the 6×6 imageset pose blocks — each
+    observation touches exactly one imageset, so H_rig,rig is block
+    diagonal — and PCG over cam+points+intrinsics (the reference *default*,
+    joint_optimization.cc:796-804 block=6 path).
 
-def _apply_jt_pt(data, blocks, s_list, n_points):
-    """JᵀW·s scattered to the point variables only: (P, 3)."""
-    out = None
-    for ci, seg in enumerate(data):
-        b = blocks[ci]
-        ws = s_list[ci] * b.weight[:, None]
-        contrib = jax.ops.segment_sum(
-            jnp.einsum("nik,ni->nk", b.j_point, ws),
-            seg.point,
-            num_segments=n_points,
-        )
-        out = contrib if out is None else out + contrib
-    return out
-
-
-def schur_pcg_solve(data, blocks, state, grad, block_diag, lam, mask, options):
-    """Solve (JᵀWJ + λI) δ = −grad by eliminating the 3×3 point blocks and
-    running PCG on the reduced camera system S = A − B D⁻¹ Bᵀ.
-
-    The reference's point-elimination SchurMode (joint_optimization.cc:
-    794-814 block=3 path; lm_optimizer.h:1246-1369) — here the reduced
-    matvec stays matrix-free (two extra per-observation passes), which
-    conditions the system far better than damping alone: measured ~3-5×
-    fewer CG iterations at equal accuracy on the benchmark problem.
+    The reduced matvec stays matrix-free (two extra per-observation
+    passes); elimination conditions the system far better than damping
+    alone: measured ~3-5× fewer CG iterations at equal accuracy on the
+    benchmark problem.
     """
     rig_b, cam_b, pts_b, intr_b = block_diag
     dtype = state.points.dtype
-    n_points = state.points.shape[0]
-    d_inv = jnp.linalg.inv(pts_b + lam * jnp.eye(3, dtype=dtype))
 
-    cam_precond = make_block_preconditioner(
-        (rig_b, cam_b, jnp.zeros_like(pts_b), intr_b), lam, state
-    )
+    if eliminate == "points":
+        elim_b = pts_b
+        keep = dict(rig=True, cam=True, points=False, intr=True)
+    else:
+        elim_b = rig_b
+        keep = dict(rig=False, cam=True, points=True, intr=True)
+    k_el = elim_b.shape[-1]
+    d_inv = jnp.linalg.inv(elim_b + lam * jnp.eye(k_el, dtype=dtype))
 
-    def zero_points(t: BATangent) -> BATangent:
-        return BATangent(
-            rig=t.rig, cam=t.cam, points=jnp.zeros_like(t.points), intr=t.intr
+    def zero_elim(t: BATangent) -> BATangent:
+        if eliminate == "points":
+            return BATangent(rig=t.rig, cam=t.cam,
+                             points=jnp.zeros_like(t.points), intr=t.intr)
+        return BATangent(rig=jnp.zeros_like(t.rig), cam=t.cam,
+                         points=t.points, intr=t.intr)
+
+    def get_elim(t: BATangent):
+        return t.points if eliminate == "points" else t.rig
+
+    def with_elim(t: BATangent, val):
+        if eliminate == "points":
+            return BATangent(rig=t.rig, cam=t.cam, points=val, intr=t.intr)
+        return BATangent(rig=val, cam=t.cam, points=t.points, intr=t.intr)
+
+    def apply_j_keep(v):
+        return _apply_j_subset(data, blocks, v, **keep)
+
+    def apply_jt_keep(s_list):
+        return _apply_jt_subset(data, blocks, s_list, state, **keep)
+
+    def apply_j_elim(val):
+        t = with_elim(zero_tangent(state), val)
+        return _apply_j_subset(
+            data, blocks, t,
+            rig=(eliminate == "poses"), cam=False,
+            points=(eliminate == "points"), intr=False,
         )
 
+    def apply_jt_elim(s_list):
+        t = _apply_jt_subset(
+            data, blocks, s_list, state,
+            rig=(eliminate == "poses"), cam=False,
+            points=(eliminate == "points"), intr=False,
+        )
+        return get_elim(t)
+
+    precond = make_block_preconditioner(
+        (
+            jnp.zeros_like(rig_b) if eliminate == "poses" else rig_b,
+            cam_b,
+            jnp.zeros_like(pts_b) if eliminate == "points" else pts_b,
+            intr_b,
+        ),
+        lam,
+        state,
+    )
+
     def matvec(v):
-        v = zero_points(_masked(v, mask))
-        u = _apply_j_cam(data, blocks, v)
-        t_p = _apply_jt_pt(data, blocks, u, n_points)
-        y_p = jnp.einsum("pjk,pk->pj", d_inv, t_p)
-        u2 = _apply_j_pt(data, blocks, y_p)
+        v = zero_elim(_masked(v, mask))
+        u = apply_j_keep(v)
+        t_e = apply_jt_elim(u)
+        y_e = jnp.einsum("pjk,pk->pj", d_inv, t_e)
+        u2 = apply_j_elim(y_e)
         diff = [a - b_ for a, b_ in zip(u, u2)]
-        out = _apply_jt_cam(data, blocks, diff, state)
-        out = zero_points(_masked(out, mask))
+        out = apply_jt_keep(diff)
+        out = zero_elim(_masked(out, mask))
         return _tree_map2(lambda o, vi: o + lam * vi, out, v)
 
     def apply_m_inv(r):
-        return zero_points(_masked(cam_precond(_masked(r, mask)), mask))
+        return zero_elim(_masked(precond(_masked(r, mask)), mask))
 
-    # reduced RHS: b_c = −g_c + B D⁻¹ g_p
-    g_p = grad.points
-    y_p = jnp.einsum("pjk,pk->pj", d_inv, g_p)
-    u2 = _apply_j_pt(data, blocks, y_p)
-    corr = _apply_jt_cam(data, blocks, u2, state)
-    b = BATangent(
-        rig=-grad.rig + corr.rig,
-        cam=-grad.cam + corr.cam,
-        points=jnp.zeros_like(grad.points),
-        intr=tuple(-gi + ci_ for gi, ci_ in zip(grad.intr, corr.intr)),
-    )
-    b = zero_points(_masked(b, mask))
+    # reduced RHS: b_keep = −g_keep + B D⁻¹ g_elim
+    g_e = get_elim(grad)
+    y_e = jnp.einsum("pjk,pk->pj", d_inv, g_e)
+    u2 = apply_j_elim(y_e)
+    corr = apply_jt_keep(u2)
+    b = _tree_map2(lambda g, c: -g + c, grad, corr)
+    b = zero_elim(_masked(b, mask))
 
     x = zero_tangent(state)
     r = b
@@ -383,13 +432,13 @@ def schur_pcg_solve(data, blocks, state, grad, block_diag, lam, mask, options):
     x, _, _, _, _, iters = jax.lax.while_loop(
         cond, body, (x, r, z, p, rz, jnp.int32(0))
     )
-    x = zero_points(_masked(x, mask))
+    x = zero_elim(_masked(x, mask))
 
-    # back-substitution: δ_p = D⁻¹ (−g_p − Bᵀ δ_c)
-    u = _apply_j_cam(data, blocks, x)
-    bt_x = _apply_jt_pt(data, blocks, u, n_points)
-    delta_p = jnp.einsum("pjk,pk->pj", d_inv, -g_p - bt_x)
-    x = BATangent(rig=x.rig, cam=x.cam, points=delta_p, intr=x.intr)
+    # back-substitution: δ_e = D⁻¹ (−g_e − Bᵀ δ_keep)
+    u = apply_j_keep(x)
+    bt_x = apply_jt_elim(u)
+    delta_e = jnp.einsum("pjk,pk->pj", d_inv, -g_e - bt_x)
+    x = with_elim(x, delta_e)
     return _masked(x, mask), iters
 
 
@@ -486,13 +535,22 @@ def lm_step(state, warm_xy, lam, data, options: BAOptions):
     mean_diag = diag_sum / n_params
     lam = jnp.where(lam < 0, options.lambda_initial_factor * mean_diag, lam)
 
-    # point elimination assumes free points; fall back to the full-system
-    # solve when they are frozen
-    use_schur = options.solver == "schur" and "points" not in options.freeze
-    solve = schur_pcg_solve if use_schur else pcg_solve
-    delta, pcg_iters = solve(
-        data, blocks, state, grad, block_diag, lam, mask, options
-    )
+    # block elimination assumes the eliminated group is free; fall back to
+    # the full-system solve when it is frozen
+    if options.solver == "schur" and "points" not in options.freeze:
+        delta, pcg_iters = schur_pcg_solve(
+            data, blocks, state, grad, block_diag, lam, mask, options,
+            eliminate="points",
+        )
+    elif options.solver == "schur_poses" and "poses" not in options.freeze:
+        delta, pcg_iters = schur_pcg_solve(
+            data, blocks, state, grad, block_diag, lam, mask, options,
+            eliminate="poses",
+        )
+    else:
+        delta, pcg_iters = pcg_solve(
+            data, blocks, state, grad, block_diag, lam, mask, options
+        )
     test_state = retract(state, delta)
     test_costs, test_valids, warm2 = total_cost(data, test_state, warm1, options)
 

@@ -34,7 +34,17 @@ import jax.numpy as jnp
 from camera_calibration_tpu.ba.dataset import PointFeature
 from camera_calibration_tpu.features import apriltag as at
 from camera_calibration_tpu.features import pattern as pat
+from camera_calibration_tpu.features import patch_refinement as pref
 from camera_calibration_tpu.features import refinement as ref
+
+
+def _bucket_size(n: int, minimum: int = 32) -> int:
+    """Round a batch size up to a power of two so the jitted refinement
+    compiles once per bucket instead of once per growth ring."""
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
 
 
 @dataclasses.dataclass
@@ -128,8 +138,15 @@ class FeatureDetector:
 
     # --------------- refinement of one batch of predictions ---------------
 
-    def _refine_batch(self, image_j, grad_j, predictions, h_locals, spec):
-        """Refine predicted positions. Returns (positions, costs, ok)."""
+    def _refine_batch(self, image, image_j, grad_j, predictions, h_locals,
+                      spec):
+        """Refine predicted positions. Returns (positions, costs, ok).
+
+        Intensity mode runs the patch-resident fast path (hat-weight MXU
+        sampling, patch_refinement.py); gradient-pair mode falls back to
+        the whole-image implementation.  Batches are padded to power-of-two
+        buckets so each bucket compiles once.
+        """
         opts = self.opts
         n = predictions.shape[0]
         whs = opts.window_half_size
@@ -138,64 +155,125 @@ class FeatureDetector:
         # local homography (translation zeroed) — the template must be
         # centered exactly on the pattern feature at (0,0), NOT on the
         # (possibly wrong) prediction (reference:
-        # cpu_refinement_by_symmetry.h:58-61).
-        pattern_samples = np.zeros((n, offs.shape[0], 2))
-        ok_h = np.ones(n, bool)
-        for i in range(n):
-            h_rel = h_locals[i] / h_locals[i][2, 2]
-            h_rel = h_rel.copy()
-            h_rel[0:2, 2] = 0.0
-            try:
-                h_inv = np.linalg.inv(h_rel)
-            except np.linalg.LinAlgError:
-                ok_h[i] = False
-                continue
-            pattern_samples[i] = _apply_h(h_inv, offs)
+        # cpu_refinement_by_symmetry.h:58-61).  All per-feature math is
+        # batched NumPy (no Python loops — weak spot of round 1 on large
+        # boards).
+        h_rel = h_locals / h_locals[:, 2:3, 2:3]
+        h_rel = h_rel.copy()
+        h_rel[:, 0:2, 2] = 0.0
+        det = np.linalg.det(h_rel)
+        ok_h = (np.abs(det) > 1e-12) & (np.abs(np.linalg.det(h_locals)) > 1e-12)
+        h_safe = np.where(ok_h[:, None, None], h_rel,
+                          np.eye(3)[None])
+        h_inv = np.linalg.inv(h_safe)  # (n,3,3)
+        q = np.einsum("nij,sj->nsi", h_inv[:, :, :2], offs) + h_inv[:, None, :, 2]
+        pattern_samples = q[..., :2] / np.where(
+            np.abs(q[..., 2:3]) > 1e-12, q[..., 2:3], 1e-12
+        )
         # matching stage on a subset of samples; render anti-aliased (the
         # reference uses 16x AA, cpu_refinement_by_matching.h) by averaging
         # the oracle over the pixel footprint in pattern space
         n_match = max(16, int(opts.matching_fraction * offs.shape[0]))
         sub = self.rng.uniform(-0.5, 0.5, (8, 2))
-        rendered = np.zeros((n, n_match))
-        for i in range(n):
-            if not ok_h[i]:
-                continue
-            h_inv = np.linalg.inv(h_locals[i])
-            foot = np.linalg.norm(h_inv[0:2, 0:2], 2)  # pattern units / px
-            acc = np.zeros(n_match)
-            for k in range(sub.shape[0]):
-                acc += spec.intensity(
-                    pattern_samples[i, :n_match] + sub[k] * foot
-                )
-            rendered[i] = acc / sub.shape[0]
-        pos1, cost1, ok1 = ref.refine_features_matching(
-            image_j,
-            jnp.asarray(predictions),
-            jnp.asarray(h_locals),
-            jnp.asarray(pattern_samples[:, :n_match]),
-            jnp.asarray(rendered),
-            jnp.ones((n, n_match), bool),
+        # per-feature pattern-units-per-pixel: spectral norm of the full
+        # inverse homography's 2×2 linear part (closed form)
+        h_inv_full = np.linalg.inv(
+            np.where(ok_h[:, None, None], h_locals, np.eye(3)[None])
+        )
+        m2 = h_inv_full[:, 0:2, 0:2]
+        fro2 = np.sum(m2 * m2, axis=(1, 2))
+        det2 = np.linalg.det(m2) ** 2
+        foot = np.sqrt(
+            np.maximum(0.5 * (fro2 + np.sqrt(np.maximum(
+                fro2 * fro2 - 4 * det2, 0.0))), 0.0)
+        )
+        pts = (
+            pattern_samples[:, :n_match, None, :]
+            + sub[None, None, :, :] * foot[:, None, None, None]
+        )
+        rendered = spec.intensity(pts.reshape(-1, 2)).reshape(
+            n, n_match, sub.shape[0]
+        ).mean(-1)
+        rendered[~ok_h] = 0.0
+        if opts.refinement_type == "gradient":
+            # whole-image fallback for the gradient-pair residual
+            pos1, cost1, ok1 = ref.refine_features_matching(
+                image_j,
+                jnp.asarray(predictions),
+                jnp.asarray(h_locals),
+                jnp.asarray(pattern_samples[:, :n_match]),
+                jnp.asarray(rendered),
+                jnp.ones((n, n_match), bool),
+                whs,
+            )
+            pos1 = np.asarray(pos1)
+            pos2, cost2, ok2 = ref.refine_features_symmetry(
+                grad_j,
+                jnp.asarray(pos1),
+                jnp.asarray(h_locals),
+                jnp.asarray(pattern_samples),
+                jnp.ones((n, offs.shape[0]), bool),
+                whs,
+                use_gradient=True,
+            )
+            ok = np.asarray(ok1) & np.asarray(ok2) & ok_h
+            return np.asarray(pos2), np.asarray(cost2), ok
+
+        # --- patch-resident fast path (intensity refinement) ---
+        patch = pref.patch_size_for_window(whs)
+        cap = _bucket_size(n)
+
+        def padded(a, fill=0.0):
+            if a.shape[0] == cap:
+                return a
+            widths = [(0, cap - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
+            return np.pad(a, widths, constant_values=fill)
+
+        pred_p = padded(predictions)
+        # padded rows get an identity homography / in-image position so the
+        # math stays finite; their results are dropped below
+        pred_p[n:] = predictions[0]
+        h_p = padded(h_locals)
+        h_p[n:] = np.eye(3)
+        samples_p = padded(pattern_samples)
+        rendered_p = padded(rendered)
+        sv_match = np.zeros((cap, n_match), bool)
+        sv_match[:n] = True
+        sv_sym = np.zeros((cap, offs.shape[0]), bool)
+        sv_sym[:n] = True
+
+        def device_patches(centers):
+            x0, y0 = pref.patch_origins(image.shape, centers, patch)
+            yx = jnp.asarray(np.stack([y0, x0], -1).astype(np.int32))
+            p = pref.extract_patches_device(image_j, yx, patch)
+            return p, jnp.asarray(np.stack([x0, y0], -1).astype(np.float64))
+
+        patches, origins = device_patches(pred_p)
+        pos1, cost1, ok1 = pref.refine_matching_patches(
+            patches,
+            origins,
+            jnp.asarray(pred_p),
+            jnp.asarray(h_p),
+            jnp.asarray(samples_p[:, :n_match]),
+            jnp.asarray(rendered_p),
+            jnp.asarray(sv_match),
             whs,
         )
         pos1 = np.asarray(pos1)
-        # symmetry stage (full sample set) from the matching result
-        if opts.refinement_type == "gradient":
-            img_for_sym = grad_j
-            use_grad = True
-        else:
-            img_for_sym = image_j
-            use_grad = False
-        pos2, cost2, ok2 = ref.refine_features_symmetry(
-            img_for_sym,
+        # re-extract around the matched positions so the symmetry stage has
+        # full drift budget inside its patches
+        patches, origins = device_patches(pos1)
+        pos2, cost2, ok2 = pref.refine_symmetry_patches(
+            patches,
+            origins,
             jnp.asarray(pos1),
-            jnp.asarray(h_locals),
-            jnp.asarray(pattern_samples),
-            jnp.ones((n, offs.shape[0]), bool),
+            jnp.asarray(h_p),
+            jnp.asarray(samples_p),
+            jnp.asarray(sv_sym),
             whs,
-            use_gradient=use_grad,
         )
-        ok = np.asarray(ok1) & np.asarray(ok2) & ok_h
-        return np.asarray(pos2), np.asarray(cost2), ok
+        ok = (np.asarray(ok1) & np.asarray(ok2))[:n] & ok_h
+        return np.asarray(pos2)[:n], np.asarray(cost2)[:n], ok
 
     # ------------------------------ detection ------------------------------
 
@@ -264,7 +342,7 @@ class FeatureDetector:
                 continue
             idx = np.nonzero(inb)[0]
             pos, cost, ok = self._refine_batch(
-                image_j, grad_j, pred[idx], h_locals[idx], spec
+                image, image_j, grad_j, pred[idx], h_locals[idx], spec
             )
             for k, i in enumerate(idx):
                 if ok[k]:
@@ -321,7 +399,7 @@ class FeatureDetector:
                 if not preds:
                     continue
                 pos, cost, ok = self._refine_batch(
-                    image_j, grad_j, np.stack(preds), np.stack(hs), spec
+                    image, image_j, grad_j, np.stack(preds), np.stack(hs), spec
                 )
                 for k, c in enumerate(kept):
                     if ok[k]:

@@ -4,9 +4,30 @@
 """
 
 import numpy as np
+import pytest
 
 import ba_harness
 from camera_calibration_tpu.ba import lm_pcg
+
+
+@pytest.mark.parametrize("solver", ["schur", "schur_poses", "pcg"])
+def test_solver_modes_reconverge(solver):
+    """All Schur/PCG solver modes reach the same optimum.
+
+    (reference analog: TestOptimizeJointly over all SchurModes,
+    central_generic_test.cc:60-89)
+    """
+    state_gt, obs, segments = ba_harness.make_problem(
+        seed=11, n_points=50, n_poses=10
+    )
+    state0 = ba_harness.perturb_state(state_gt, seed=12)
+    options = lm_pcg.BAOptions(
+        solver=solver, max_lm_iterations=25, max_pcg_iterations=80,
+        cost_reduction_threshold=1e-7,
+    )
+    state, info = lm_pcg.optimize(state0, obs, segments, options)
+    err = np.asarray(ba_harness.reprojection_errors(state, obs, segments))
+    assert np.median(err) < 1e-3, (solver, np.median(err))
 
 
 def test_mono_ba_reconverges():
