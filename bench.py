@@ -122,9 +122,12 @@ def main():
 
     # Inexact-Newton cap: 20 CG iterations per LM step is where
     # time-to-convergence is best on this problem (the tail of a 50-iter
-    # solve buys little extra LM progress).
-    options = lm_pcg.BAOptions(max_pcg_iterations=20, proj_iterations=8)
-    step = lm_pcg.make_lm_step(options)
+    # solve buys little extra LM progress).  5 LM steps are fused per
+    # device call (lax.scan) to amortize dispatch latency.
+    n_scan = 5
+    options = lm_pcg.BAOptions(max_pcg_iterations=20, proj_iterations=8,
+                               lm_steps_per_call=n_scan)
+    step = lm_pcg.make_lm_scan(options, n_scan)
     warm = tuple(s.pixel for s in data)
     lam = jnp.asarray(-1.0, dtype)
 
@@ -133,15 +136,17 @@ def main():
     jax.block_until_ready(out)
     state_c, warm_c, lam_c = out[0], out[1], out[2]
 
-    n_iters = 10
+    n_calls = 2
     t0 = time.perf_counter()
     s, wm, lm = state_c, warm_c, lam_c
-    for _ in range(n_iters):
-        s, wm, lm, *_rest = step(s, wm, lm, data)
-    jax.block_until_ready(s)
+    for _ in range(n_calls):
+        s, wm, lm, _outs = step(s, wm, lm, data)
+    # force a true device sync through a host-side reduction
+    # (block_until_ready under-measures on this remote runtime)
+    float(s.points.sum())
     t1 = time.perf_counter()
 
-    iters_per_s = n_iters / (t1 - t0)
+    iters_per_s = n_calls * n_scan / (t1 - t0)
     print(
         json.dumps(
             {

@@ -38,6 +38,7 @@ import dataclasses
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from camera_calibration_tpu.ba import residuals as res
 from camera_calibration_tpu.ba.state import (
@@ -48,6 +49,7 @@ from camera_calibration_tpu.ba.state import (
     zero_tangent,
 )
 from camera_calibration_tpu.ops import manifolds
+from camera_calibration_tpu.ops.segsum import onehot_segment_sum
 
 
 @dataclasses.dataclass(frozen=True)
@@ -77,6 +79,10 @@ class BAOptions:
     # "intrinsics"); freezing points+intrinsics = the reference's
     # --localize_only mode
     freeze: tuple = ()
+    # LM iterations fused into one device call (lax.scan) — amortizes the
+    # per-dispatch latency of the remote TPU runtime.  1 = step-per-call
+    # (checkpoint/callback granularity of one iteration).
+    lm_steps_per_call: int = 1
 
 
 def _tree_dot(a, b):
@@ -149,16 +155,16 @@ def apply_jtw(data, blocks, s_list, state: BAState) -> BATangent:
     for ci, seg in enumerate(data):
         b = blocks[ci]
         ws = s_list[ci] * b.weight[:, None]  # (n, 2)
-        rig = rig + jax.ops.segment_sum(
+        rig = rig + onehot_segment_sum(
             jnp.einsum("nik,ni->nk", b.j_rig, ws),
             seg.imageset,
-            num_segments=rig.shape[0],
+            rig.shape[0],
         )
         cam = cam.at[ci].add(jnp.sum(jnp.einsum("nik,ni->nk", b.j_cam, ws), axis=0))
-        pts = pts + jax.ops.segment_sum(
+        pts = pts + onehot_segment_sum(
             jnp.einsum("nik,ni->nk", b.j_point, ws),
             seg.point,
-            num_segments=pts.shape[0],
+            pts.shape[0],
         )
         intr[ci] = intr[ci] + res.intr_apply_jtw(b.intr, ws, intr[ci])
     return BATangent(rig=rig, cam=cam, points=pts, intr=tuple(intr))
@@ -187,30 +193,31 @@ def jtwj_block_diag(data, blocks, state: BAState):
     for ci, seg in enumerate(data):
         b = blocks[ci]
         w = b.weight
-        rig = rig + jax.ops.segment_sum(
+        rig = rig + onehot_segment_sum(
             jnp.einsum("nij,nik,n->njk", b.j_rig, b.j_rig, w),
             seg.imageset,
-            num_segments=m,
+            m,
         )
         cam = cam.at[ci].add(
             jnp.einsum("nij,nik,n->jk", b.j_cam, b.j_cam, w)
         )
-        pts = pts + jax.ops.segment_sum(
+        pts = pts + onehot_segment_sum(
             jnp.einsum("nij,nik,n->njk", b.j_point, b.j_point, w),
             seg.point,
-            num_segments=p_n,
+            p_n,
         )
         bi = b.intr
         if isinstance(bi, res.GridIntr):
             k = bi.j_win.shape[-1]
-            zero = zero_tangent(state).intr[ci]
-            gh, gw = zero.shape[0], zero.shape[1]
+            # One-hot window contractions instead of a 16n-row scatter-add:
+            # TPU scatters serialize per row (measured ~300 ms at 262k obs);
+            # the same reduction as two MXU einsums runs in a few ms.
             contrib = jnp.einsum(
                 "niyxj,niyxk,n->nyxjk", bi.j_win, bi.j_win, w
-            ).reshape(-1, k, k)
-            idx = bi.win_flat.reshape(-1)
-            knot = jax.ops.segment_sum(contrib, idx, num_segments=gh * gw)
-            intr.append(knot.reshape(gh, gw, k, k))
+            )
+            rows = jnp.einsum("nxw,nyxjk->nywjk", bi.ox, contrib)
+            knot = jnp.einsum("nyh,nywjk->hwjk", bi.oy, rows)
+            intr.append(knot)
         else:
             intr.append(
                 jnp.einsum("nij,nik,n->jk", bi.j_params, bi.j_params, w)
@@ -285,20 +292,20 @@ def _apply_jt_subset(data, blocks, s_list, state: BAState, *, rig=True,
         b = blocks[ci]
         ws = s_list[ci] * b.weight[:, None]
         if rig:
-            rig_t = rig_t + jax.ops.segment_sum(
+            rig_t = rig_t + onehot_segment_sum(
                 jnp.einsum("nik,ni->nk", b.j_rig, ws),
                 seg.imageset,
-                num_segments=rig_t.shape[0],
+                rig_t.shape[0],
             )
         if cam:
             cam_t = cam_t.at[ci].add(
                 jnp.sum(jnp.einsum("nik,ni->nk", b.j_cam, ws), axis=0)
             )
         if points:
-            pts_t = pts_t + jax.ops.segment_sum(
+            pts_t = pts_t + onehot_segment_sum(
                 jnp.einsum("nik,ni->nk", b.j_point, ws),
                 seg.point,
-                num_segments=pts_t.shape[0],
+                pts_t.shape[0],
             )
         if intr:
             intr_t[ci] = intr_t[ci] + res.intr_apply_jtw(b.intr, ws, intr_t[ci])
@@ -581,6 +588,30 @@ def make_lm_step(options: BAOptions, jit: bool = True):
     return jax.jit(step) if jit else step
 
 
+def make_lm_scan(options: BAOptions, n_steps: int, jit: bool = True):
+    """K LM iterations fused into one jitted call via lax.scan.
+
+    Amortizes per-dispatch latency (measured ~30 ms per call on the remote
+    TPU runtime) across several iterations.  Returns
+    (state, warm, lam, per-iteration stacked (accept, cost, new_cost,
+    pcg_iters))."""
+
+    def scanned(state, warm, lam, data):
+        def body(carry, _):
+            state, warm, lam = carry
+            state, warm, lam, accept, cost, new_cost, iters = lm_step(
+                state, warm, lam, data, options
+            )
+            return (state, warm, lam), (accept, cost, new_cost, iters)
+
+        (state, warm, lam), outs = jax.lax.scan(
+            body, (state, warm, lam), None, length=n_steps
+        )
+        return state, warm, lam, outs
+
+    return jax.jit(scanned) if jit else scanned
+
+
 def optimize(
     state: BAState,
     obs,
@@ -600,38 +631,63 @@ def optimize(
 
     if data is None:
         data = split_by_camera(obs, segments)
-    step = make_lm_step(options)
+    k = max(1, int(options.lm_steps_per_call))
+    if k > 1:
+        scan_step = make_lm_scan(options, k)
+    else:
+        step = make_lm_step(options)
     warm = tuple(seg.pixel for seg in data)
     lam = jnp.asarray(-1.0, state.points.dtype)
     history = []
     rejects = 0
     final_cost = None
-    for it in range(options.max_lm_iterations):
-        state, warm, lam, accept, cost, new_cost, pcg_iters = step(
-            state, warm, lam, data
-        )
-        accept = bool(accept)
-        history.append(
-            {
-                "iteration": it,
-                "cost": float(cost),
-                "new_cost": float(new_cost),
-                "accepted": accept,
-                "lambda": float(lam),
-                "pcg_iterations": int(pcg_iters),
-            }
-        )
-        if callback is not None:
-            callback(history[-1], state)
-        if accept:
-            rejects = 0
-            rel = (float(cost) - float(new_cost)) / max(float(cost), 1e-30)
-            final_cost = float(new_cost)
-            if rel < options.cost_reduction_threshold:
-                break
+    it = 0
+    stop = False
+    while it < options.max_lm_iterations and not stop:
+        if k > 1:
+            state, warm, lam, outs = scan_step(state, warm, lam, data)
+            accepts, costs, new_costs, pcg_its = (
+                np.asarray(outs[0]), np.asarray(outs[1]),
+                np.asarray(outs[2]), np.asarray(outs[3]),
+            )
+            entries = [
+                (bool(accepts[i]), float(costs[i]), float(new_costs[i]),
+                 int(pcg_its[i]))
+                for i in range(k)
+            ]
         else:
-            rejects += 1
-            final_cost = float(cost)
-            if rejects >= options.max_consecutive_rejects:
+            state, warm, lam, accept, cost, new_cost, pcg_iters = step(
+                state, warm, lam, data
+            )
+            entries = [(bool(accept), float(cost), float(new_cost),
+                        int(pcg_iters))]
+        for accept, cost, new_cost, pcg_iters in entries:
+            if it >= options.max_lm_iterations:
                 break
+            history.append(
+                {
+                    "iteration": it,
+                    "cost": cost,
+                    "new_cost": new_cost,
+                    "accepted": accept,
+                    "lambda": float(lam),
+                    "pcg_iterations": pcg_iters,
+                }
+            )
+            if callback is not None:
+                callback(history[-1], state)
+            it += 1
+            if accept:
+                rejects = 0
+                rel = (cost - new_cost) / max(cost, 1e-30)
+                final_cost = new_cost
+                if rel < options.cost_reduction_threshold:
+                    stop = True
+                    break
+            else:
+                rejects += 1
+                final_cost = cost
+                if rejects >= options.max_consecutive_rejects:
+                    stop = True
+                    break
     return state, {"history": history, "final_cost": final_cost}

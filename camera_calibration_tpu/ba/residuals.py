@@ -266,18 +266,6 @@ def intr_apply_jtw(intr, ws, tangent_shape_like):
     return jnp.einsum("nik,ni->k", intr.j_params, ws)
 
 
-def intr_jtwj_diag(intr, w, tangent_shape_like):
-    """Intrinsics part of diag(JᵀWJ). w: (n,) IRLS weights."""
-    if isinstance(intr, GridIntr):
-        gh, gw, k = tangent_shape_like.shape
-        contrib = jnp.einsum("niyxj,n->nyxj", intr.j_win**2, w).reshape(-1, k)
-        idx = intr.win_flat.reshape(-1)
-        return jax.ops.segment_sum(contrib, idx, num_segments=gh * gw).reshape(
-            gh, gw, k
-        )
-    return jnp.einsum("nik,n->k", intr.j_params**2, w)
-
-
 def segment_cost(
     model,
     state: BAState,

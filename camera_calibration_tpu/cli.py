@@ -193,11 +193,26 @@ def cmd_calibrate(args):
         )
         return 0
 
+    model_kind = args.model
+    # the grid pyramid (coarse-to-fine resampling) applies to the central
+    # generic model only; parametric and noncentral models calibrate at
+    # their final parameterization directly
+    n_pyramid = args.num_pyramid_levels if model_kind == "central_generic" else 1
+
     results = []
     for ci in range(dataset.num_cameras):
-        init = DenseInitializer(
-            dataset, ci, DenseInitOptions(seed=args.seed)
-        )
+        if model_kind == "noncentral_generic":
+            from camera_calibration_tpu.init.noncentral_init import (
+                NoncentralDenseInitializer,
+            )
+
+            init = NoncentralDenseInitializer(
+                dataset, ci, DenseInitOptions(seed=args.seed)
+            )
+        else:
+            init = DenseInitializer(
+                dataset, ci, DenseInitOptions(seed=args.seed)
+            )
         res = init.run()
         if res is None:
             print(f"dense initialization failed for camera {ci}")
@@ -213,16 +228,15 @@ def cmd_calibrate(args):
         dataset.image_sizes[0][0], dataset.image_sizes[0][1],
         args.approx_pixels_per_cell,
     )
-    coarse = cal.grid_resolution_for_level(
-        args.num_pyramid_levels - 1, *full_res
-    )
+    coarse = cal.grid_resolution_for_level(n_pyramid - 1, *full_res)
     state, data, fid_to_idx, image_used = build_ba_state(
-        dataset, results, (max(4, coarse[1]), max(4, coarse[0])), dtype=dtype
+        dataset, results, (max(4, coarse[1]), max(4, coarse[0])), dtype=dtype,
+        model_kind=model_kind,
     )
 
     # 4. calibrate
     options = cal.CalibrateOptions(
-        num_pyramid_levels=args.num_pyramid_levels,
+        num_pyramid_levels=n_pyramid,
         approx_pixels_per_cell=args.approx_pixels_per_cell,
         outlier_removal_factor=args.outlier_removal_factor,
         final_iterations=args.final_iterations,
@@ -778,7 +792,12 @@ def main(argv=None):
     p.add_argument("--pattern_files", help="comma-separated pattern YAMLs")
     p.add_argument("--dataset_files", help="existing dataset.bin")
     p.add_argument("--output_directory", required=True)
-    p.add_argument("--model", default="central_generic")
+    p.add_argument(
+        "--model", default="central_generic",
+        choices=["central_generic", "noncentral_generic",
+                 "central_thin_prism_fisheye", "central_opencv",
+                 "central_radial"],
+    )
     p.add_argument("--num_pyramid_levels", type=int, default=3)
     p.add_argument("--approx_pixels_per_cell", type=int, default=25)
     p.add_argument("--outlier_removal_factor", type=float, default=8.0)

@@ -24,6 +24,7 @@ Implementation notes vs the reference:
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 
 def _null_vector(a):
@@ -389,3 +390,303 @@ def central_3d_relative_pose(clouds, weights=None):
 
     ok = jnp.all(jnp.isfinite(o)) & jnp.all(jnp.isfinite(t)) & (lam > 1e-12)
     return {"r": r, "t": t, "optical_center": o, "ok": ok}
+
+
+# --------------------- noncentral (Ramalingam-Sturm) ---------------------
+#
+# Both noncentral variants below recover the poses of point clouds whose
+# equal-index triples lie on a common 3D line (one line per "pixel", no
+# common optical center) — the initializers for NoncentralGeneric
+# calibration.  Capability parity with the reference's
+# relative_pose_initialization/noncentral_camera_{3d,planar}_target.cc
+# (API algorithms.h:50-77), but with a different derivation:
+#
+# With homogeneous pose matrices P = [R | t], the collinearity constraint
+# cross(B − A, C − A) = 0 for A = Q (fixed cloud), B = P0·Qp_h,
+# C = P1·Qpp_h expands into a linear system over the lifted unknowns
+#   G^c[k, l] = (p0_k × p1_l)_c          (cross products of pose columns),
+#   rotation entries,  and  d = t0 − t1,
+# assembled from ALL THREE cross components.  For a 3D target the null
+# space is one-dimensional and extraction is direct.  For a planar target
+# the null space is four-dimensional; a consistent solution is found by a
+# small Gauss-Newton over the 4 null coordinates enforcing the
+# cross-product/orthonormality consistency of the lifted vector, and the
+# second (mirror) solution follows analytically: reflecting the scene
+# through the z=0 pattern plane (F = diag(1,1,−1)) maps any solution
+# (R, t) to the equally valid (F·R, F·t) because the fixed cloud lies in
+# that plane.  The reference resolves this ambiguity with the ground-truth
+# pose (noncentral_camera_planar_target.cc:261,280 — test-only); here BOTH
+# candidates are returned and the caller disambiguates physically (e.g.
+# image-orientation handedness, or downstream consistency).
+
+_CYC = ((1, 2), (2, 0), (0, 1))
+
+
+def _hat(v):
+    return np.array([
+        [0.0, -v[2], v[1]],
+        [v[2], 0.0, -v[0]],
+        [-v[1], v[0], 0.0],
+    ])
+
+
+def _procrustes_rotation(cols):
+    """Nearest orthonormal completion of 3×2 column pairs -> full 3×3."""
+    u, _, vt = np.linalg.svd(cols, full_matrices=False)
+    c = u @ vt
+    r = np.column_stack([c[:, 0], c[:, 1], np.cross(c[:, 0], c[:, 1])])
+    return r
+
+
+def noncentral_3d_relative_pose(clouds, weights=None):
+    """Noncentral camera + 3D target relative pose (3 clouds).
+
+    clouds: (3, N, 3) — equal-index triples collinear; clouds[2]'s pose is
+    fixed to identity.  Returns dict with r0/t0 (cloud2_tr_cloud0), r1/t1
+    (cloud2_tr_cloud1), ok.  Needs N ≥ 24 non-degenerate, genuinely
+    noncentral data (near-central line sets are ill-conditioned here —
+    use the central variants instead).
+    """
+    clouds = np.asarray(clouds, np.float64)
+    n = clouds.shape[1]
+    w = np.ones(n) if weights is None else np.asarray(weights, np.float64)
+    if n < 24:
+        return {"ok": False}
+
+    mean = (clouds * w[None, :, None]).sum((0, 1)) / max(3 * w.sum(), 1e-12)
+    centered = clouds - mean
+    md = (np.linalg.norm(centered, axis=-1) * w[None]).sum() / max(
+        3 * w.sum(), 1e-12
+    )
+    nf = np.sqrt(3.0) / max(md, 1e-12)
+    nc = centered * nf
+
+    a_cl, qp, qpp = nc[2], nc[0], nc[1]
+    qph = np.concatenate([qp, np.ones((n, 1))], 1)
+    qpph = np.concatenate([qpp, np.ones((n, 1))], 1)
+    rows = []
+    for c, (c1, c2) in enumerate(_CYC):
+        r = np.zeros((n, 69))
+        r[:, 16 * c:16 * (c + 1)] = (
+            qph[:, :, None] * qpph[:, None, :]
+        ).reshape(n, 16)
+        r[:, 48 + 3 * c1:48 + 3 * c1 + 3] += -a_cl[:, c2:c2 + 1] * qp
+        r[:, 48 + 3 * c2:48 + 3 * c2 + 3] += a_cl[:, c1:c1 + 1] * qp
+        r[:, 57 + 3 * c2:57 + 3 * c2 + 3] += -a_cl[:, c1:c1 + 1] * qpp
+        r[:, 57 + 3 * c1:57 + 3 * c1 + 3] += a_cl[:, c2:c2 + 1] * qpp
+        r[:, 66 + c1] += -a_cl[:, c2]
+        r[:, 66 + c2] += a_cl[:, c1]
+        rows.append(r * w[:, None])
+    c_mat = np.concatenate(rows, 0)
+
+    _, sv, vt = np.linalg.svd(c_mat, full_matrices=False)
+    v = vt[-1]
+
+    g = v[:48].reshape(3, 4, 4)  # [component, k, l]
+    r0_raw = v[48:57].reshape(3, 3)  # rows-major: R0 rows
+    r1_raw = v[57:66].reshape(3, 3)
+    d = v[66:69]
+    lam = np.sqrt(max((r0_raw ** 2).sum() + (r1_raw ** 2).sum(), 1e-30) / 6.0)
+    v = v / lam
+    g, r0_raw, r1_raw, d = (
+        g / lam, r0_raw / lam, r1_raw / lam, d / lam,
+    )
+    if np.linalg.det(r0_raw) < 0:
+        g, r0_raw, r1_raw, d = -g, -r0_raw, -r1_raw, -d
+    u_, _, vt_ = np.linalg.svd(r0_raw)
+    r0 = u_ @ vt_
+    u_, _, vt_ = np.linalg.svd(r1_raw)
+    r1 = u_ @ vt_
+    if np.linalg.det(r0) < 0 or np.linalg.det(r1) < 0:
+        return {"ok": False}
+
+    # translations: G[:,k,3] = R0col_k × t1, G[:,3,l] = t0 × R1col_l,
+    # t0 − t1 = d  (21 linear equations, 6 unknowns)
+    a_rows, b_rows = [], []
+    for k in range(3):
+        a_rows.append(np.concatenate(
+            [np.zeros((3, 3)), _hat(r0[:, k])], axis=1))
+        b_rows.append(np.array([g[c, k, 3] for c in range(3)]))
+    for l in range(3):
+        a_rows.append(np.concatenate(
+            [-_hat(r1[:, l]), np.zeros((3, 3))], axis=1))
+        b_rows.append(np.array([g[c, 3, l] for c in range(3)]))
+    a_rows.append(np.concatenate([np.eye(3), -np.eye(3)], axis=1))
+    b_rows.append(d)
+    t_sol, *_ = np.linalg.lstsq(
+        np.concatenate(a_rows), np.concatenate(b_rows), rcond=None
+    )
+    t0n, t1n = t_sol[:3], t_sol[3:]
+
+    def denorm(r, t):
+        return r, t / nf + mean - r @ mean
+
+    r0, t0 = denorm(r0, t0n)
+    r1, t1 = denorm(r1, t1n)
+    # unique-null-vector check: a clear gap between the two smallest
+    # singular values (near-central or degenerate data collapses it)
+    ok = (
+        np.isfinite(t0).all() and np.isfinite(t1).all()
+        and sv[-2] > 10.0 * sv[-1] + 1e-12 * sv[0]
+    )
+    return {"r0": r0, "t0": t0, "r1": r1, "t1": t1, "ok": bool(ok)}
+
+
+def _planar_consistency_residuals(v):
+    g = v[:27].reshape(3, 3, 3)
+    r0 = v[27:33].reshape(3, 2)
+    r1 = v[33:39].reshape(3, 2)
+    d = v[39:42]
+    res = []
+    for k in range(2):
+        for l in range(2):
+            res.extend(np.cross(r0[:, k], r1[:, l]) - g[:, k, l])
+    res.append(r0[:, 0] @ r0[:, 0] - r0[:, 1] @ r0[:, 1])
+    res.append(r0[:, 0] @ r0[:, 1])
+    res.append(r1[:, 0] @ r1[:, 0] - r1[:, 1] @ r1[:, 1])
+    res.append(r1[:, 0] @ r1[:, 1])
+    res.append(np.sum(r0 ** 2) - np.sum(r1 ** 2))
+    for k in range(2):
+        res.append(g[:, k, 2] @ r0[:, k])
+    for l in range(2):
+        res.append(g[:, 2, l] @ r1[:, l])
+    res.append(g[:, 2, 2] @ d)
+    res.append(np.sum(r0 ** 2) - 2.0)  # unit columns (scale fix)
+    return np.asarray(res)
+
+
+def noncentral_planar_relative_pose(clouds, weights=None):
+    """Noncentral camera + planar target relative pose (3 clouds, z = 0).
+
+    clouds: (3, N, 2) pattern-plane coordinates.  Returns dict with
+    ``candidates``: a list of TWO {r0,t0,r1,t1} dicts — the solution and
+    its mirror through the pattern plane (see module comment) — plus
+    ``ok``.  Needs N ≥ 16 and genuinely noncentral data.
+    """
+    clouds = np.asarray(clouds, np.float64)
+    n = clouds.shape[1]
+    w = np.ones(n) if weights is None else np.asarray(weights, np.float64)
+    if n < 16:
+        return {"ok": False, "candidates": []}
+
+    mean = (clouds * w[None, :, None]).sum((0, 1)) / max(3 * w.sum(), 1e-12)
+    centered = clouds - mean
+    md = (np.linalg.norm(centered, axis=-1) * w[None]).sum() / max(
+        3 * w.sum(), 1e-12
+    )
+    nf = np.sqrt(2.0) / max(md, 1e-12)
+    nc = centered * nf
+
+    a2, qp2, qpp2 = nc[2], nc[0], nc[1]
+    a3 = np.concatenate([a2, np.zeros((n, 1))], 1)
+    qph = np.concatenate([qp2, np.ones((n, 1))], 1)
+    qpph = np.concatenate([qpp2, np.ones((n, 1))], 1)
+    rows = []
+    for c, (c1, c2) in enumerate(_CYC):
+        r = np.zeros((n, 42))
+        r[:, 9 * c:9 * (c + 1)] = (
+            qph[:, :, None] * qpph[:, None, :]
+        ).reshape(n, 9)
+        r[:, 27 + 2 * c1:27 + 2 * c1 + 2] += -a3[:, c2:c2 + 1] * qp2
+        r[:, 27 + 2 * c2:27 + 2 * c2 + 2] += a3[:, c1:c1 + 1] * qp2
+        r[:, 33 + 2 * c2:33 + 2 * c2 + 2] += -a3[:, c1:c1 + 1] * qpp2
+        r[:, 33 + 2 * c1:33 + 2 * c1 + 2] += a3[:, c2:c2 + 1] * qpp2
+        r[:, 39 + c1] += -a3[:, c2]
+        r[:, 39 + c2] += a3[:, c1]
+        rows.append(r * w[:, None])
+    c_mat = np.concatenate(rows, 0)
+
+    _, sv, vt = np.linalg.svd(c_mat, full_matrices=False)
+    # The structural null space is 4-dim (2 gauge + the mirror-pair line),
+    # but weakly-noncentral data blurs additional directions into it; keep
+    # every direction within a relative gap of the smallest so the true
+    # solution stays inside the searched subspace.
+    k = int(np.sum(sv < max(1e-10 * sv[0], 1e3 * sv[-1])))
+    k = int(np.clip(k, 4, 12))
+    null = vt[-k:]
+
+    def gn(alpha0):
+        a = alpha0.astype(np.float64).copy()
+        lam = 0.0
+        for _ in range(80):
+            v = null.T @ a
+            r = _planar_consistency_residuals(v)
+            jac = np.zeros((r.size, k))
+            eps = 1e-7 * max(1.0, np.linalg.norm(a))
+            for i in range(k):
+                ap = a.copy()
+                ap[i] += eps
+                jac[:, i] = (
+                    _planar_consistency_residuals(null.T @ ap) - r
+                ) / eps
+            try:
+                step = np.linalg.lstsq(jac, -r, rcond=None)[0]
+            except np.linalg.LinAlgError:
+                break
+            a = a + step
+            if np.linalg.norm(step) < 1e-13 * max(1.0, np.linalg.norm(a)):
+                break
+        return a, float(np.linalg.norm(
+            _planar_consistency_residuals(null.T @ a)
+        ))
+
+    best = None
+    starts = [np.eye(k)[i] for i in range(k)] + [
+        np.ones(k) / np.sqrt(k),
+        np.array([(-1.0) ** i for i in range(k)]) / np.sqrt(k),
+    ]
+    for s0 in starts:
+        a, rn = gn(np.asarray(s0))
+        if best is None or rn < best[1]:
+            best = (a, rn)
+        if rn < 1e-9:
+            break
+    alpha, resid = best
+    v = null.T @ alpha
+
+    g = v[:27].reshape(3, 3, 3)
+    r0_cols = v[27:33].reshape(3, 2)
+    r1_cols = v[33:39].reshape(3, 2)
+    d = v[39:42]
+    r0 = _procrustes_rotation(r0_cols)
+    r1 = _procrustes_rotation(r1_cols)
+
+    # translations: G[:,k,2] = R0col_k × t1, G[:,2,l] = t0 × R1col_l,
+    # t0 − t1 = d  (15 linear equations, 6 unknowns)
+    a_rows, b_rows = [], []
+    for k in range(2):
+        a_rows.append(np.concatenate(
+            [np.zeros((3, 3)), _hat(r0[:, k])], axis=1))
+        b_rows.append(g[:, k, 2])
+    for l in range(2):
+        a_rows.append(np.concatenate(
+            [-_hat(r1[:, l]), np.zeros((3, 3))], axis=1))
+        b_rows.append(g[:, 2, l])
+    a_rows.append(np.concatenate([np.eye(3), -np.eye(3)], axis=1))
+    b_rows.append(d)
+    t_sol, *_ = np.linalg.lstsq(
+        np.concatenate(a_rows), np.concatenate(b_rows), rcond=None
+    )
+    t0n, t1n = t_sol[:3], t_sol[3:]
+
+    mean3 = np.array([mean[0], mean[1], 0.0])
+
+    def denorm(r, t):
+        return r, t / nf + mean3 - r @ mean3
+
+    # Mirror candidate: reflect through the pattern plane.  Only the first
+    # two rotation columns are observable (planar target); the mirror's
+    # third column comes from re-completing the FLIPPED columns by cross
+    # product (F·R itself would be a reflection, det −1).
+    flip = np.diag([1.0, 1.0, -1.0])
+    candidates = []
+    for fr in (np.eye(3), flip):
+        rr0, tt0 = denorm(_procrustes_rotation(fr @ r0_cols), fr @ t0n)
+        rr1, tt1 = denorm(_procrustes_rotation(fr @ r1_cols), fr @ t1n)
+        candidates.append({"r0": rr0, "t0": tt0, "r1": rr1, "t1": tt1})
+    ok = (
+        resid < 5e-2
+        and all(np.isfinite(c["t0"]).all() and np.isfinite(c["t1"]).all()
+                for c in candidates)
+    )
+    return {"ok": bool(ok), "candidates": candidates, "residual": resid}

@@ -53,6 +53,63 @@ def fit_initial_model(result, grid_resolution, dtype=jnp.float64):
     )
 
 
+def fit_initial_model_noncentral(result, grid_resolution):
+    """Fit a NoncentralGenericModel to a NoncentralInitResult's line field."""
+    from camera_calibration_tpu.models.fit import fit_noncentral_to_lines
+
+    dirs, anchors, valid, _c = result.line_field()
+    w, h = result.image_size
+    return fit_noncentral_to_lines(
+        dirs, anchors, valid, grid_resolution, width=w, height=h
+    )
+
+
+_PARAMETRIC_KINDS = (
+    "central_thin_prism_fisheye", "central_opencv", "central_radial",
+)
+
+
+def fit_initial_model_parametric(result, kind, dtype=jnp.float64):
+    """Fit a parametric model to a DenseInitResult's direction image.
+
+    The fit runs in the dense buffer's raster; the pinhole block is then
+    rescaled to image pixels (distortion parameters live in normalized
+    camera coordinates and are scale-invariant)."""
+    from camera_calibration_tpu.models import parametric as pm
+
+    dirs, valid = result.observation_directions()
+    w, h = result.image_size
+    bw, bh = result.buffer_size
+    if kind == "central_thin_prism_fisheye":
+        template = pm.CentralThinPrismFisheyeModel(
+            params=jnp.zeros(12, dtype), width=bw, height=bh,
+        )
+    elif kind == "central_opencv":
+        template = pm.CentralOpenCVModel(
+            params=jnp.zeros(12, dtype), width=bw, height=bh,
+        )
+    elif kind == "central_radial":
+        # 8 base params + 50-knot radial spline (the reference uses 250,
+        # calibration.cc:60; 50 is plenty at init — BA refines)
+        template = pm.CentralRadialModel(
+            params=jnp.zeros(8 + 50, dtype), width=bw, height=bh,
+        )
+    else:
+        raise ValueError(f"unknown parametric kind {kind}")
+    fitted = pm.fit_parametric_to_dense(template, dirs, valid, dtype=dtype)
+    sx = w / bw
+    sy = h / bh
+    params = np.asarray(fitted.params).copy()
+    params[0] *= sx  # fx
+    params[1] *= sy  # fy
+    params[2] *= sx  # cx
+    params[3] *= sy  # cy
+    from camera_calibration_tpu.models.base import replace
+
+    return replace(fitted, params=jnp.asarray(params, dtype),
+                   width=w, height=h)
+
+
 def feature_id_to_point_index(dataset: Dataset):
     """Compacting map over feature ids present in known geometries.
 
@@ -86,6 +143,7 @@ def build_ba_state(
     dense_results,
     grid_resolution,
     dtype=jnp.float64,
+    model_kind: str = "central_generic",
 ):
     """(BAState, per-camera data tuple, fid_to_idx, image_used) from dense
     init results.
@@ -142,10 +200,24 @@ def build_ba_state(
         dataset, fid_to_idx, dense_results[0].global_tr_known_geometry
     )
 
-    intrinsics = tuple(
-        fit_initial_model(dense_results[c], grid_resolution, dtype=dtype)
-        for c in range(n_cameras)
-    )
+    if model_kind == "central_generic":
+        intrinsics = tuple(
+            fit_initial_model(dense_results[c], grid_resolution, dtype=dtype)
+            for c in range(n_cameras)
+        )
+    elif model_kind == "noncentral_generic":
+        intrinsics = tuple(
+            fit_initial_model_noncentral(dense_results[c], grid_resolution)
+            for c in range(n_cameras)
+        )
+    elif model_kind in _PARAMETRIC_KINDS:
+        intrinsics = tuple(
+            fit_initial_model_parametric(dense_results[c], model_kind,
+                                         dtype=dtype)
+            for c in range(n_cameras)
+        )
+    else:
+        raise ValueError(f"unknown model kind {model_kind}")
 
     state = BAState(
         rig_q_global=jnp.asarray(rig_q, dtype),

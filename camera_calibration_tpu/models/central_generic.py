@@ -234,7 +234,7 @@ def project_directions(
     lam0 = jnp.full((n,), -1.0, dtype)
 
     def body(carry):
-        it, g, lam, done = carry
+        it, g, lam, rejects, done = carry
         un, du, norm = dir_residual(g)
         # d un/d g = N(u) @ du with N = (I - un unᵀ)/|u|
         proj = du - un[..., :, None] * jnp.sum(un[..., :, None] * du, axis=-2, keepdims=True)
@@ -252,15 +252,23 @@ def project_directions(
         accept = (test_cost < cost) & (~done)
         g = jnp.where(accept[:, None], g_test, g)
         lam = jnp.where(accept, 0.5 * lam, 2.0 * lam)
-        done = done | (cost < eps)
-        return it + 1, g, lam, done
+        # A point is finished when converged OR stalled (three consecutive
+        # rejected steps — at a minimum every test step rejects, so this is
+        # the convergence signal for points whose cost floor is above eps).
+        # Warm-started already-optimal points then exit after ~3 iterations
+        # inside the BA hot path instead of always running to the cap.
+        rejects = jnp.where(accept, 0, rejects + 1)
+        done = done | (cost < eps) | (rejects >= 3)
+        return it + 1, g, lam, rejects, done
 
     def cond(carry):
-        it, _, _, done = carry
+        it, _, _, _, done = carry
         return (it < max_iterations) & (~jnp.all(done))
 
-    _, g, _, _ = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), g, lam0, jnp.zeros((n,), bool))
+    _, g, _, _, _ = jax.lax.while_loop(
+        cond, body,
+        (jnp.int32(0), g, lam0, jnp.zeros((n,), jnp.int32),
+         jnp.zeros((n,), bool)),
     )
     final_cost = cost_at(g)
     # Converged = direction reproduced to high accuracy (=> sub-pixel exact).

@@ -165,3 +165,138 @@ def fit_central_generic_to_dense(
         cg_iterations=cg_iterations,
     )
     return replace(model, grid=result.state)
+
+
+def _seed_values_from_dense(dense_vals, valid, model):
+    """Knot seeding for an arbitrary-valued field (nearest valid pixel +
+    neighbor-mean extrapolation, no normalization)."""
+    h, w = valid.shape
+    gh, gw = model.grid_height, model.grid_width
+    knot_px = np.asarray(cg.grid_point_pixels(model))
+    grid = np.zeros((gh, gw, dense_vals.shape[-1]), np.float64)
+    filled = np.zeros((gh, gw), bool)
+    for gy in range(gh):
+        for gx in range(gw):
+            px = knot_px[gy, gx]
+            cx = int(np.clip(np.floor(px[0]), 0, w - 1))
+            cy = int(np.clip(np.floor(px[1]), 0, h - 1))
+            for r in range(5):
+                x0, x1 = max(0, cx - r), min(w - 1, cx + r)
+                y0, y1 = max(0, cy - r), min(h - 1, cy + r)
+                sub = valid[y0:y1 + 1, x0:x1 + 1]
+                if sub.any():
+                    yy, xx = np.nonzero(sub)
+                    d2 = (yy + y0 - cy) ** 2 + (xx + x0 - cx) ** 2
+                    i = np.argmin(d2)
+                    grid[gy, gx] = dense_vals[yy[i] + y0, xx[i] + x0]
+                    filled[gy, gx] = True
+                    break
+    while not filled.all():
+        acc = np.zeros_like(grid)
+        cnt = np.zeros((gh, gw))
+        for dy, dx in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+            shifted = np.roll(filled, (dy, dx), (0, 1))
+            vals = np.roll(grid, (dy, dx), (0, 1))
+            if dy == 1:
+                shifted[0, :] = False
+            elif dy == -1:
+                shifted[-1, :] = False
+            if dx == 1:
+                shifted[:, 0] = False
+            elif dx == -1:
+                shifted[:, -1] = False
+            m = shifted & ~filled
+            acc[m] += vals[m]
+            cnt[m] += 1
+        m = (cnt > 0) & ~filled
+        if not m.any():
+            filled[:] = True
+            break
+        grid[m] = acc[m] / cnt[m][:, None]
+        filled |= m
+    return grid
+
+
+def fit_noncentral_to_lines(
+    line_dirs,
+    line_anchors,
+    valid,
+    grid_resolution,
+    *,
+    width=None,
+    height=None,
+    max_sample_count: int = 40000,
+    max_iterations: int = 30,
+    cg_iterations: int = 60,
+    dtype=jnp.float64,
+):
+    """Fit a NoncentralGenericModel to a dense per-pixel line field.
+
+    line_dirs / line_anchors: (H, W, 3) oriented unit directions and line
+    anchor points (choose anchors that vary smoothly, e.g. closest points
+    to the effective camera centroid — see init/noncentral_init.py).
+
+    The reference has no such fit — its noncentral models always start
+    from a central model with zero origins (our models/noncentral_generic.
+    from_central matches that path); this fit enables the full
+    noncentral-from-scratch initialization.
+    """
+    from camera_calibration_tpu.models import noncentral_generic as ncg
+
+    line_dirs = np.asarray(line_dirs, np.float64)
+    line_anchors = np.asarray(line_anchors, np.float64)
+    valid = np.asarray(valid, bool)
+    h, w = valid.shape
+    width = w if width is None else width
+    height = h if height is None else height
+
+    # Fit in the field's own raster, rewrap with the real image bounds at
+    # the end (the buffer covers the full image uniformly).
+    central = fit_central_generic_to_dense(
+        line_dirs, valid, grid_resolution,
+        width=w, height=h,
+        max_sample_count=max_sample_count,
+        max_iterations=max_iterations,
+        cg_iterations=cg_iterations,
+        dtype=dtype,
+    )
+
+    gh, gw = central.grid.shape[:2]
+    probe = cg.CentralGenericModel(
+        grid=jnp.zeros((gh, gw, 3), dtype),
+        width=w, height=h,
+        calibration_min_x=0, calibration_min_y=0,
+        calibration_max_x=w - 1, calibration_max_y=h - 1,
+    )
+    point0 = _seed_values_from_dense(line_anchors, valid, probe)
+
+    vy, vx = np.nonzero(valid)
+    stride = max(1, vy.size // max_sample_count)
+    sel = np.arange(0, vy.size, stride)
+    px = np.stack([vx[sel] + 0.5, vy[sel] + 0.5], -1).astype(np.float64)
+    target = jnp.asarray(line_anchors[vy[sel], vx[sel]], dtype)
+    gxy = cg.pixel_to_grid(probe, jnp.asarray(px, dtype))
+
+    def residual_fn(grid):
+        vals = jax.vmap(lambda p: bspline.eval_surface(grid, p[0], p[1]))(gxy)
+        return (vals - target).reshape(-1)
+
+    def retract_fn(grid, tangent):
+        return grid + tangent
+
+    result = lm_solve(
+        residual_fn,
+        retract_fn,
+        jnp.asarray(point0, dtype),
+        jnp.zeros((gh, gw, 3), dtype),
+        max_iterations=max_iterations,
+        cg_iterations=cg_iterations,
+    )
+    return ncg.NoncentralGenericModel(
+        direction_grid=central.grid,
+        point_grid=result.state,
+        width=int(width), height=int(height),
+        calibration_min_x=0, calibration_min_y=0,
+        calibration_max_x=int(width) - 1,
+        calibration_max_y=int(height) - 1,
+    )

@@ -127,3 +127,41 @@ def test_full_calibrate_pipeline():
     assert report["reprojection_error_median"] < 0.01, report
     # metric scale recovered (1/1.3 ≈ 0.769)
     assert abs(report["scale_factor"] - 1 / 1.3) < 0.02, report["scale_factor"]
+
+
+def test_full_calibrate_parametric_model():
+    """model_kind plumbing: dense init -> parametric fit -> BA (the
+    reference's parametric calibration path, calibration.cc:644/733)."""
+    import test_dense_init as tdi
+    from camera_calibration_tpu.init.dense_init import (
+        DenseInitializer, DenseInitOptions,
+    )
+    from camera_calibration_tpu.init.state_init import build_ba_state
+    from camera_calibration_tpu import calibrate as cal
+    from camera_calibration_tpu.models.parametric import (
+        CentralThinPrismFisheyeModel,
+    )
+
+    ds, camgt, gt_poses = tdi._make_synthetic_dataset(
+        seed=2, n_imagesets=10, k=12, w=320, h=240
+    )
+    init = DenseInitializer(
+        ds, 0, DenseInitOptions(
+            max_initialization_attempts=100, seed=3,
+            min_matched_area_accept=0.15,
+        ),
+    )
+    res = init.run()
+    assert res is not None
+    state, data, fid, used = build_ba_state(
+        ds, [res], (6, 6), model_kind="central_thin_prism_fisheye"
+    )
+    assert isinstance(state.intrinsics[0], CentralThinPrismFisheyeModel)
+    opts = cal.CalibrateOptions(
+        num_pyramid_levels=1, final_iterations=40, outlier_removal_factor=8.0
+    )
+    state, data, rep = cal.calibrate(
+        state, data, opts, known_geometries=ds.known_geometries,
+        feature_id_to_point_index=fid,
+    )
+    assert rep["reprojection_error_median"] < 0.05, rep

@@ -1,0 +1,224 @@
+"""Noncentral-from-scratch initialization E2E.
+
+BASELINE config 4 ("Non-central generic model with Ramalingam-Sturm
+non-central initialization") without a central bootstrap crutch: synthetic
+strongly-noncentral camera -> feature tables -> noncentral RS bootstrap ->
+line-field accumulation -> NoncentralGenericModel fit -> joint BA.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from camera_calibration_tpu.ba.dataset import (
+    Dataset, Imageset, KnownGeometry, PointFeature, ObservationTable,
+)
+from camera_calibration_tpu.init.noncentral_init import (
+    NoncentralDenseInitializer,
+)
+from camera_calibration_tpu.init.dense_init import DenseInitOptions
+from camera_calibration_tpu.models import noncentral_generic as ncg
+
+
+W, H = 320, 240
+CELL = 0.03
+NX, NY = 13, 10  # corner grid
+
+
+def _gt_model():
+    """Strongly noncentral camera: near-parallel rays, spread origins."""
+    gres = 8
+    yy, xx = np.meshgrid(np.arange(gres), np.arange(gres), indexing="ij")
+    u = (xx - 1.0) / (gres - 3.0)  # 0..1 across image
+    v = (yy - 1.0) / (gres - 3.0)
+    dirs = np.stack(
+        [0.8 * (u - 0.5), 0.8 * (v - 0.5), np.ones_like(u)], -1
+    )
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    # origins NOT proportional to the direction field's xy — a cross-slit
+    # style camera whose lines do not meet in any single point
+    origins = np.stack(
+        [0.15 * (v - 0.5), -0.12 * (u - 0.5), np.zeros_like(u)], -1
+    )
+    return ncg.NoncentralGenericModel(
+        direction_grid=jnp.asarray(dirs),
+        point_grid=jnp.asarray(origins),
+        width=W, height=H,
+        calibration_min_x=0, calibration_min_y=0,
+        calibration_max_x=W - 1, calibration_max_y=H - 1,
+    )
+
+
+def _make_dataset(seed=0, n_imagesets=12):
+    rng = np.random.default_rng(seed)
+    model = _gt_model()
+    fid = 0
+    fid_to_pos = {}
+    pts_pat = []
+    for y in range(NY):
+        for x in range(NX):
+            fid_to_pos[fid] = (x, y)
+            pts_pat.append([x * CELL, y * CELL, 0.0])
+            fid += 1
+    pts_pat = np.asarray(pts_pat)
+    geom = KnownGeometry(cell_length_in_meters=CELL,
+                         feature_id_to_position=fid_to_pos)
+    off = np.array([(NX - 1) / 2 * CELL, (NY - 1) / 2 * CELL, 0.0])
+
+    imagesets = []
+    poses = []
+    for i in range(n_imagesets):
+        a = rng.normal(0, 0.25, 3)
+        th = np.linalg.norm(a)
+        k = a / max(th, 1e-12)
+        kx = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]])
+        r = np.eye(3) + np.sin(th) * kx + (1 - np.cos(th)) * kx @ kx
+        t = -r @ off + np.array(
+            [rng.normal(0, 0.02), rng.normal(0, 0.02), rng.uniform(0.42, 0.6)]
+        )
+        x_cam = pts_pat @ r.T + t
+        px, _, valid = ncg.project_points(
+            model, jnp.asarray(x_cam), max_iterations=50
+        )
+        px = np.asarray(px)
+        valid = np.asarray(valid) & (px[:, 0] > 1) & (px[:, 0] < W - 2) \
+            & (px[:, 1] > 1) & (px[:, 1] < H - 2)
+        feats = [
+            PointFeature(xy=px[j], feature_id=j)
+            for j in range(pts_pat.shape[0]) if valid[j]
+        ]
+        imagesets.append(Imageset(features=[feats]))
+        poses.append((r, t))
+    ds = Dataset(num_cameras=1, image_sizes=[(W, H)], imagesets=imagesets,
+                 known_geometries=[geom])
+    return ds, model, poses
+
+
+def test_noncentral_init_e2e():
+    ds, model_gt, poses_gt = _make_dataset(seed=1)
+    init = NoncentralDenseInitializer(
+        ds, 0,
+        DenseInitOptions(
+            max_initialization_attempts=80, seed=2,
+            min_matched_area_accept=0.2,
+        ),
+    )
+    result = init.run()
+    assert result is not None
+    n_used = sum(result.image_used)
+    assert n_used >= 8, n_used
+
+    # The RS fixed frame is the bootstrap anchor view's pattern-through-
+    # camera frame, so every recovered pose differs from GT by ONE global
+    # rigid transform L (the camera-frame gauge).  Estimate L from the
+    # first localized view, then all others must agree.
+    used = [si for si, p in enumerate(result.image_tr_global)
+            if p is not None]
+    r0m, t0m = result.image_tr_global[used[0]]
+    r0g, t0g = poses_gt[used[0]]
+    l_r = r0g @ r0m.T
+    l_t = t0g - l_r @ t0m
+    rot_errs, t_errs = [], []
+    for si in used[1:]:
+        r, t = result.image_tr_global[si]
+        r_al = l_r @ r
+        t_al = l_r @ t + l_t
+        r_gt, t_gt = poses_gt[si]
+        rot_errs.append(np.degrees(np.arccos(np.clip(
+            (np.trace(r_al @ r_gt.T) - 1) / 2, -1, 1))))
+        t_errs.append(np.linalg.norm(t_al - t_gt))
+    # A per-pixel-independent line field has near-gauge deformations that
+    # three-view bootstraps cannot pin down (the spline model + joint BA
+    # break the ambiguity later); the init only needs to land in BA's
+    # basin of attraction.
+    assert np.median(rot_errs) < 8.0, rot_errs
+    assert np.median(t_errs) < 0.15, t_errs
+
+    # The recovered line field (gauge-aligned) must match the GT lines.
+    dirs, anchors, valid, c = result.line_field()
+    bw, bh = result.buffer_size
+    ys, xs = np.nonzero(valid)
+    stride = max(1, ys.size // 500)
+    ys, xs = ys[::stride], xs[::stride]
+    px = np.stack([(xs + 0.5) * W / bw, (ys + 0.5) * H / bh], -1)
+    d_gt, o_gt, v_gt = ncg.unproject(model_gt, jnp.asarray(px))
+    d_gt, o_gt = np.asarray(d_gt), np.asarray(o_gt)
+    d_al = dirs[ys, xs] @ l_r.T
+    a_al = anchors[ys, xs] @ l_r.T + l_t
+    dots = np.abs(np.einsum("nj,nj->n", d_gt, d_al))
+    assert np.median(dots) > 0.99, np.median(dots)
+    # aligned anchors must lie near the GT lines
+    rel = a_al - o_gt
+    perp = rel - np.einsum("nj,nj->n", rel, d_gt)[:, None] * d_gt
+    assert np.median(np.linalg.norm(perp, axis=1)) < 0.05
+
+
+def test_noncentral_init_fit_and_ba():
+    from camera_calibration_tpu.ba import lm_pcg
+    from camera_calibration_tpu.ba.state import BAState
+    from camera_calibration_tpu.models.fit import fit_noncentral_to_lines
+    from camera_calibration_tpu.ops import se3
+
+    ds, model_gt, poses_gt = _make_dataset(seed=3)
+    init = NoncentralDenseInitializer(
+        ds, 0,
+        DenseInitOptions(
+            max_initialization_attempts=80, seed=4,
+            min_matched_area_accept=0.2,
+        ),
+    )
+    result = init.run()
+    assert result is not None and sum(result.image_used) >= 8
+
+    dirs, anchors, valid, c = result.line_field()
+    model = fit_noncentral_to_lines(
+        dirs, anchors, valid, (7, 7), width=W, height=H,
+    )
+
+    # assemble BA state: poses from the init, pattern points at GT
+    # geometry, the fitted noncentral intrinsics
+    geom = ds.known_geometries[0]
+    fid_to_idx = {f: i for i, f in enumerate(sorted(
+        geom.feature_id_to_position.keys()))}
+    pts = np.zeros((len(fid_to_idx), 3))
+    for f, i in fid_to_idx.items():
+        px_pos = geom.feature_id_to_position[f]
+        pts[i] = [px_pos[0] * CELL, px_pos[1] * CELL, 0.0]
+    used = [si for si, u in enumerate(result.image_used) if u]
+    rig_q = np.tile([1.0, 0, 0, 0], (len(ds.imagesets), 1))
+    rig_t = np.zeros((len(ds.imagesets), 3))
+    for si in used:
+        r, t = result.image_tr_global[si]
+        rig_q[si] = np.asarray(se3.matrix_to_quat(jnp.asarray(r)))
+        rig_t[si] = t
+    state = BAState(
+        rig_q_global=jnp.asarray(rig_q),
+        rig_t_global=jnp.asarray(rig_t),
+        cam_q_rig=jnp.asarray([[1.0, 0, 0, 0]]),
+        cam_t_rig=jnp.zeros((1, 3)),
+        points=jnp.asarray(pts),
+        intrinsics=(model,),
+    )
+    ims, ptids, pixels = [], [], []
+    for si in used:
+        for f in ds.imagesets[si].features[0]:
+            ims.append(si)
+            ptids.append(fid_to_idx[f.feature_id])
+            pixels.append(np.asarray(f.xy, np.float64))
+    data = (ObservationTable(
+        imageset=jnp.asarray(np.array(ims, np.int32)),
+        camera=jnp.zeros(len(ims), jnp.int32),
+        point=jnp.asarray(np.array(ptids, np.int32)),
+        pixel=jnp.asarray(np.stack(pixels)),
+        valid=jnp.ones(len(ims), bool),
+    ),)
+    options = lm_pcg.BAOptions(
+        max_lm_iterations=30, max_pcg_iterations=60,
+        cost_reduction_threshold=1e-8,
+    )
+    state, info = lm_pcg.optimize(state, None, None, options, data=data)
+    import ba_harness
+    err = np.asarray(
+        ba_harness.reprojection_errors(state, data[0], [(0, len(ims))])
+    )
+    med = np.median(err[np.isfinite(err)])
+    assert med < 0.01, (med, info["final_cost"])

@@ -103,3 +103,113 @@ def test_central_3d_recovers_pose():
         np.testing.assert_allclose(np.asarray(out["t"]), t_gt, atol=1e-6)
         np.testing.assert_allclose(np.asarray(out["optical_center"]), o,
                                    atol=1e-6)
+
+
+# --------------------- noncentral variants ---------------------
+
+
+def _rand_rot_np(rng, max_angle=0.7):
+    import numpy as np
+    a = rng.normal(0, 1, 3)
+    a /= np.linalg.norm(a)
+    th = rng.uniform(0.1, max_angle)
+    k = np.array([[0, -a[2], a[1]], [a[2], 0, -a[0]], [-a[1], a[0], 0]])
+    return np.eye(3) + np.sin(th) * k + (1 - np.cos(th)) * k @ k
+
+
+def _noncentral_lines(rng, n):
+    import numpy as np
+    o = rng.uniform(-0.5, 0.5, (n, 3))
+    d = rng.normal(0, 1, (n, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    d *= np.sign(d[:, 2:3] + 1e-12)
+    return o, d
+
+
+def test_noncentral_3d_relative_pose():
+    """(reference analog: relative_pose_initialization_test.cc noncentral
+    3D variant — random GT poses, collinear cloud construction)"""
+    import numpy as np
+    from camera_calibration_tpu.init import relative_pose as rp
+
+    rng = np.random.default_rng(7)
+    n = 40
+    o, d = _noncentral_lines(rng, n)
+    rs = [_rand_rot_np(rng) for _ in range(3)]
+    ts = [rng.uniform(-0.3, 0.3, 3) + np.array([0, 0, 1.5]) for _ in range(3)]
+    clouds = []
+    for k in range(3):
+        s = rng.uniform(1.0, 2.0, n)
+        x = o + s[:, None] * d
+        clouds.append((x - ts[k]) @ rs[k])
+    out = rp.noncentral_3d_relative_pose(np.stack(clouds))
+    assert out["ok"]
+    r20 = rs[2].T @ rs[0]
+    t20 = rs[2].T @ (ts[0] - ts[2])
+    r21 = rs[2].T @ rs[1]
+    t21 = rs[2].T @ (ts[1] - ts[2])
+    np.testing.assert_allclose(out["r0"], r20, atol=1e-6)
+    np.testing.assert_allclose(out["t0"], t20, atol=1e-6)
+    np.testing.assert_allclose(out["r1"], r21, atol=1e-6)
+    np.testing.assert_allclose(out["t1"], t21, atol=1e-6)
+
+
+def test_noncentral_planar_relative_pose():
+    """Planar variant returns the mirror candidate pair, one matching GT —
+    WITHOUT the reference's ground-truth disambiguation hack
+    (noncentral_camera_planar_target.cc:261,280, algorithms.h:59-60)."""
+    import numpy as np
+    from camera_calibration_tpu.init import relative_pose as rp
+
+    rng = np.random.default_rng(8)
+    n = 60
+    o, d = _noncentral_lines(rng, n)
+    rs = [_rand_rot_np(rng) for _ in range(3)]
+    ts = [rng.uniform(-0.3, 0.3, 3) + np.array([0, 0, 1.5]) for _ in range(3)]
+    clouds = []
+    for k in range(3):
+        nrm = rs[k][:, 2]
+        s = (nrm @ ts[k] - o @ nrm) / (d @ nrm)
+        x = o + s[:, None] * d
+        p = (x - ts[k]) @ rs[k]
+        assert np.abs(p[:, 2]).max() < 1e-9
+        clouds.append(p[:, :2])
+    out = rp.noncentral_planar_relative_pose(np.stack(clouds))
+    assert out["ok"], out.get("residual")
+    r20 = rs[2].T @ rs[0]
+    t20 = rs[2].T @ (ts[0] - ts[2])
+    errs = []
+    for c in out["candidates"]:
+        errs.append(
+            np.abs(c["r0"] - r20).max() + np.abs(c["t0"] - t20).max()
+        )
+    assert min(errs) < 1e-6, errs
+    # the two candidates are genuinely distinct (mirror pair)
+    assert max(errs) > 1e-2
+
+
+def test_noncentral_planar_relative_pose_noise():
+    import numpy as np
+    from camera_calibration_tpu.init import relative_pose as rp
+
+    rng = np.random.default_rng(9)
+    n = 120
+    o, d = _noncentral_lines(rng, n)
+    rs = [_rand_rot_np(rng) for _ in range(3)]
+    ts = [rng.uniform(-0.3, 0.3, 3) + np.array([0, 0, 1.5]) for _ in range(3)]
+    clouds = []
+    for k in range(3):
+        nrm = rs[k][:, 2]
+        s = (nrm @ ts[k] - o @ nrm) / (d @ nrm)
+        x = o + s[:, None] * d
+        p = (x - ts[k]) @ rs[k]
+        clouds.append(p[:, :2] + rng.normal(0, 1e-4, (n, 2)))
+    out = rp.noncentral_planar_relative_pose(np.stack(clouds))
+    assert out["ok"], out.get("residual")
+    r20 = rs[2].T @ rs[0]
+    t20 = rs[2].T @ (ts[0] - ts[2])
+    errs = [
+        np.abs(c["r0"] - r20).max() + np.abs(c["t0"] - t20).max()
+        for c in out["candidates"]
+    ]
+    assert min(errs) < 0.05, errs
