@@ -371,8 +371,10 @@ def cmd_create_pattern(args):
         f"_segments_{args.num_star_segments}",
     )
     pat.save_pattern_yaml(spec, base + ".yaml")
-    # raster rendering (the reference generates PDF via reportlab; we emit
-    # a print-ready PNG at the requested dpi)
+    # print-ready vector PDF at true physical scale (the reference's
+    # scripts/create_calibration_pattern.py emits PDF via reportlab)
+    pat.save_pattern_pdf(spec, base + ".pdf")
+    # plus a raster preview at the requested dpi
     px_per_square = args.dpi_pixels_per_square
     h_img = np.array(
         [
@@ -390,7 +392,7 @@ def cmd_create_pattern(args):
     import cv2
 
     cv2.imwrite(base + ".png", (img * 255).astype(np.uint8))
-    print(f"wrote {base}.yaml and {base}.png")
+    print(f"wrote {base}.yaml, {base}.pdf and {base}.png")
     return 0
 
 
@@ -547,7 +549,301 @@ def cmd_fit_parametric(args):
     state, _, _ = state_io.load_ba_state(args.state_directory)
     model = state.intrinsics[args.camera_index]
     fit_and_report(model, args.output_directory,
-                   model_names=tuple(args.models.split(",")))
+                   model_names=tuple(args.models.split(",")),
+                   co_estimate_rotation=args.co_estimate_rotation)
+    return 0
+
+
+def cmd_create_legends(args):
+    """Write legend images for the report visualizations
+    (reference: tools/create_legends.cc)."""
+    import numpy as np
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import matplotlib.colors as mcolors
+
+    os.makedirs(args.output_directory, exist_ok=True)
+
+    # error-direction hue wheel
+    n = 512
+    yy, xx = np.meshgrid(np.linspace(-1, 1, n), np.linspace(-1, 1, n),
+                         indexing="ij")
+    r = np.hypot(xx, yy)
+    ang = np.arctan2(yy, xx)
+    hue = (ang + np.pi) / (2 * np.pi)
+    val = np.clip(r, 0, 1)
+    rgb = mcolors.hsv_to_rgb(np.stack([hue, np.ones_like(hue), val], -1))
+    rgb[r > 1] = 1.0
+    fig, ax = plt.subplots(figsize=(4, 4), dpi=100)
+    ax.imshow(rgb, extent=[-1, 1, 1, -1])
+    ax.set_title("error direction (hue) / magnitude (value)")
+    ax.set_xlabel("error x")
+    ax.set_ylabel("error y")
+    fig.tight_layout()
+    fig.savefig(os.path.join(args.output_directory,
+                             "legend_error_directions.png"))
+    plt.close(fig)
+
+    # magnitude colorbar legend
+    fig, ax = plt.subplots(figsize=(4, 1.2), dpi=100)
+    grad = np.linspace(0, 1, 256)[None, :]
+    ax.imshow(grad, aspect="auto", cmap="inferno",
+              extent=[0, args.max_error_px, 0, 1])
+    ax.set_yticks([])
+    ax.set_xlabel("mean |reprojection error| [px]")
+    fig.tight_layout()
+    fig.savefig(os.path.join(args.output_directory,
+                             "legend_error_magnitudes.png"))
+    plt.close(fig)
+
+    # observation-direction xyz->rgb legend
+    fig, ax = plt.subplots(figsize=(4, 1.2), dpi=100)
+    ax.axis("off")
+    ax.text(0.0, 0.6, "observation directions:", fontsize=10)
+    ax.text(0.0, 0.2, "r = (x+1)/2   g = (y+1)/2   b = (z+1)/2", fontsize=10)
+    fig.savefig(os.path.join(args.output_directory,
+                             "legend_observation_directions.png"))
+    plt.close(fig)
+    print(f"wrote legends to {args.output_directory}")
+    return 0
+
+
+def _kalibr_load_cameras(path):
+    """Load a Kalibr camchain YAML -> {index: parametric model}.
+
+    Supported camera/distortion models: pinhole + radtan (-> OpenCV
+    k1 k2 p1 p2), pinhole + equidistant (-> thin-prism fisheye k1..k4
+    with the equidistant pre-step), pinhole without distortion.
+    (reference analog: tools/visualize_calibration.cc Kalibr input)
+    """
+    import yaml
+    import numpy as np
+    import jax.numpy as jnp
+
+    from camera_calibration_tpu.models import parametric as pm
+    from camera_calibration_tpu.models import pinhole as ph
+
+    with open(path) as f:
+        doc = yaml.safe_load(f)
+    cams = {}
+    for key, spec in doc.items():
+        if not key.startswith("cam"):
+            continue
+        idx = int(key[3:])
+        fu, fv, pu, pv = spec["intrinsics"]
+        w, h = spec["resolution"]
+        dist_model = spec.get("distortion_model", "none")
+        coeffs = spec.get("distortion_coeffs", []) or []
+        if dist_model == "radtan":
+            params = np.zeros(12)
+            params[:4] = [fu, fv, pu, pv]
+            if len(coeffs) >= 2:
+                params[4:6] = coeffs[:2]  # k1 k2
+            if len(coeffs) >= 4:
+                params[10:12] = coeffs[2:4]  # p1 p2
+            cams[idx] = pm.CentralOpenCVModel(
+                params=jnp.asarray(params), width=int(w), height=int(h)
+            )
+        elif dist_model == "equidistant":
+            params = np.zeros(12)
+            params[:4] = [fu, fv, pu, pv]
+            params[4:4 + min(4, len(coeffs))] = coeffs[:4]
+            cams[idx] = pm.CentralThinPrismFisheyeModel(
+                params=jnp.asarray(params), width=int(w), height=int(h),
+                use_equidistant_projection=True,
+            )
+        else:
+            cams[idx] = ph.make_pinhole(fu, fv, pu, pv, int(w), int(h))
+    return cams
+
+
+def _visualize_camera(model, base_path, name):
+    """Direction-field + distortion-displacement visualizations."""
+    import numpy as np
+    import jax.numpy as jnp
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from camera_calibration_tpu.models import protocol
+
+    w, h = model.width, model.height
+    ys = np.linspace(1, h - 2, 120)
+    xs = np.linspace(1, w - 2, 160)
+    gx, gy = np.meshgrid(xs, ys)
+    px = jnp.asarray(np.stack([gx, gy], -1).reshape(-1, 2))
+    dirs, valid = protocol.unproject(model, px)
+    dirs = np.asarray(dirs).reshape(len(ys), len(xs), 3)
+    valid = np.asarray(valid).reshape(len(ys), len(xs))
+    rgb = 0.5 * (dirs + 1.0)
+    rgb[~valid] = 0.0
+    fig, ax = plt.subplots(figsize=(5, 4), dpi=100)
+    ax.imshow(np.clip(rgb, 0, 1))
+    ax.set_title(f"{name}: observation directions")
+    fig.tight_layout()
+    fig.savefig(base_path + "_directions.png")
+    plt.close(fig)
+
+    # distortion displacement: |pixel - ideal pinhole projection| using a
+    # central-region pinhole approximation
+    z = np.maximum(dirs[..., 2], 1e-9)
+    nx = dirs[..., 0] / z
+    ny = dirs[..., 1] / z
+    center = valid & (np.hypot(nx, ny) < 0.2)
+    if center.sum() > 16:
+        a = np.zeros((2 * int(center.sum()), 4))
+        a[0::2, 0] = nx[center]
+        a[0::2, 2] = 1.0
+        a[1::2, 1] = ny[center]
+        a[1::2, 3] = 1.0
+        rhs = np.stack([gx[center], gy[center]], -1).reshape(-1)
+        sol, *_ = np.linalg.lstsq(a, rhs, rcond=None)
+        ideal_x = sol[0] * nx + sol[2]
+        ideal_y = sol[1] * ny + sol[3]
+        disp = np.hypot(ideal_x - gx, ideal_y - gy)
+        disp[~valid] = np.nan
+        fig, ax = plt.subplots(figsize=(5, 4), dpi=100)
+        im = ax.imshow(disp, cmap="viridis")
+        fig.colorbar(im, ax=ax, label="distortion displacement [px]")
+        ax.set_title(f"{name}: distortion vs central pinhole")
+        fig.tight_layout()
+        fig.savefig(base_path + "_distortion.png")
+        plt.close(fig)
+
+
+def cmd_visualize_calibration(args):
+    """Visualize a calibration from a Kalibr camchain YAML, a COLMAP
+    model directory, or one of our state directories
+    (reference: tools/visualize_calibration.cc)."""
+    os.makedirs(args.output_directory, exist_ok=True)
+    cams = {}
+    if args.kalibr_yaml:
+        cams = _kalibr_load_cameras(args.kalibr_yaml)
+        tag = "kalibr"
+    elif args.colmap_model:
+        from camera_calibration_tpu.io import colmap
+
+        model = colmap.read_model(args.colmap_model)
+        cams = {cid - 1: c for cid, c in model.cameras.items()}
+        tag = "colmap"
+    elif args.state_directory:
+        from camera_calibration_tpu.io import state_io
+
+        state, _, _ = state_io.load_ba_state(args.state_directory)
+        cams = dict(enumerate(state.intrinsics))
+        tag = "state"
+    else:
+        print("need --kalibr_yaml, --colmap_model, or --state_directory")
+        return 1
+    for idx, cam in cams.items():
+        base = os.path.join(args.output_directory, f"{tag}_camera{idx}")
+        _visualize_camera(cam, base, f"{tag} camera {idx}")
+        print(f"wrote {base}_directions.png")
+    return 0
+
+
+def cmd_refine_colmap(args):
+    """Bundle-adjust a COLMAP model (poses + points + parametric
+    intrinsics) with the joint LM solver
+    (reference: tools/bundle_adjustment.cc:50,190)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from camera_calibration_tpu.ba import lm_pcg
+    from camera_calibration_tpu.ba.dataset import ObservationTable
+    from camera_calibration_tpu.ba.state import BAState
+    from camera_calibration_tpu.io import colmap
+    from camera_calibration_tpu.ops import se3
+
+    model = colmap.read_model(args.colmap_model)
+    cam_ids = sorted(model.cameras.keys())
+    cam_index = {cid: i for i, cid in enumerate(cam_ids)}
+    pt_ids = sorted(model.points3d.keys())
+    pt_index = {pid: i for i, pid in enumerate(pt_ids)}
+    pts = np.stack([model.points3d[pid][0] for pid in pt_ids])
+
+    # COLMAP images are independent poses: each image becomes its own
+    # "imageset" with the rig anchored at identity; intrinsics per camera.
+    rig_q, rig_t = [], []
+    ims, cams_col, ptids, pixels = [], [], [], []
+    for si, im in enumerate(model.images):
+        rig_q.append(np.asarray(im.q, float))
+        rig_t.append(np.asarray(im.t, float))
+        for (x, y, pid) in im.points2d:
+            if pid < 0 or pid not in pt_index:
+                continue
+            ims.append(si)
+            cams_col.append(cam_index[im.camera_id])
+            ptids.append(pt_index[pid])
+            pixels.append([x, y])
+    n_cams = len(cam_ids)
+    # camera-major sort
+    order = np.lexsort((np.array(ims), np.array(cams_col)))
+    ims = np.array(ims, np.int32)[order]
+    cams_col = np.array(cams_col, np.int32)[order]
+    ptids = np.array(ptids, np.int32)[order]
+    pixels = np.array(pixels, float)[order]
+
+    state = BAState(
+        rig_q_global=jnp.asarray(np.stack(rig_q)),
+        rig_t_global=jnp.asarray(np.stack(rig_t)),
+        cam_q_rig=jnp.asarray(
+            np.tile([1.0, 0, 0, 0], (n_cams, 1))
+        ),
+        cam_t_rig=jnp.zeros((n_cams, 3)),
+        points=jnp.asarray(pts),
+        intrinsics=tuple(model.cameras[cid] for cid in cam_ids),
+    )
+    data = []
+    for c in range(n_cams):
+        m = cams_col == c
+        data.append(ObservationTable(
+            imageset=jnp.asarray(ims[m]),
+            camera=jnp.asarray(cams_col[m]),
+            point=jnp.asarray(ptids[m]),
+            pixel=jnp.asarray(pixels[m]),
+            valid=jnp.ones(int(m.sum()), bool),
+        ))
+    freeze = {f for f in args.freeze.split(",") if f}
+    # COLMAP poses live in rig_tr_global; the per-camera extrinsics are a
+    # redundant identity here and stay frozen
+    freeze.add("extrinsics")
+    options = lm_pcg.BAOptions(
+        max_lm_iterations=args.iterations,
+        max_pcg_iterations=60,
+        cost_reduction_threshold=1e-7,
+        freeze=tuple(sorted(freeze)),
+    )
+    state, info = lm_pcg.optimize(state, None, None, options,
+                                  data=tuple(data))
+    print(f"[refine-colmap] final cost {info['final_cost']}")
+
+    # write back
+    new_images = []
+    for si, im in enumerate(model.images):
+        new_images.append(colmap.ColmapImage(
+            image_id=im.image_id,
+            q=np.asarray(state.rig_q_global[si]),
+            t=np.asarray(state.rig_t_global[si]),
+            camera_id=im.camera_id,
+            name=im.name,
+            points2d=im.points2d,
+        ))
+    new_pts = {}
+    pts_out = np.asarray(state.points)
+    for pid in pt_ids:
+        xyz, rgb, err, track = model.points3d[pid]
+        new_pts[pid] = (pts_out[pt_index[pid]], rgb, err, track)
+    new_cams = {
+        cid: state.intrinsics[cam_index[cid]] for cid in cam_ids
+    }
+    colmap.write_model(args.output_directory, colmap.ColmapModel(
+        cameras=new_cams, images=new_images, points3d=new_pts,
+    ))
+    print(f"wrote refined COLMAP model to {args.output_directory}")
     return 0
 
 
@@ -859,11 +1155,35 @@ def main(argv=None):
     p.add_argument("--state_directory", required=True)
     p.add_argument("--output_directory", required=True)
     p.add_argument("--camera_index", type=int, default=0)
+    p.add_argument("--co_estimate_rotation", action="store_true")
     p.add_argument(
         "--models",
         default="central_thin_prism_fisheye,central_opencv,central_radial",
     )
     p.set_defaults(func=cmd_fit_parametric)
+
+    p = sub.add_parser("visualize-calibration",
+                       help="visualize a Kalibr/COLMAP/state calibration")
+    p.add_argument("--kalibr_yaml")
+    p.add_argument("--colmap_model")
+    p.add_argument("--state_directory")
+    p.add_argument("--output_directory", required=True)
+    p.set_defaults(func=cmd_visualize_calibration)
+
+    p = sub.add_parser("refine-colmap",
+                       help="bundle-adjust a COLMAP model")
+    p.add_argument("--colmap_model", required=True)
+    p.add_argument("--output_directory", required=True)
+    p.add_argument("--iterations", type=int, default=30)
+    p.add_argument("--freeze", default="",
+                   help="comma list: poses,points,intrinsics")
+    p.set_defaults(func=cmd_refine_colmap)
+
+    p = sub.add_parser("create-legends",
+                       help="legend images for the report visualizations")
+    p.add_argument("--output_directory", required=True)
+    p.add_argument("--max_error_px", type=float, default=1.0)
+    p.set_defaults(func=cmd_create_legends)
 
     p = sub.add_parser("intersect-datasets",
                        help="keep features present in all datasets")

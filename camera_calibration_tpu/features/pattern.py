@@ -235,3 +235,132 @@ def render_pattern(
     # box-downsample
     vals = vals.reshape(h, ss, w, ss).mean(axis=(1, 3))
     return vals
+
+
+def save_pattern_pdf(spec: PatternSpec, path, page_margin_m: float = 0.005):
+    """Write a print-ready VECTOR PDF of the pattern at true physical scale.
+
+    Matches the reference's PDF generator output role (reference:
+    scripts/create_calibration_pattern.py — ReportLab there; here the
+    star wedges are exact vector polygons via matplotlib's PDF backend).
+    Each star cell draws its black wedges clipped to the unit cell; the
+    AprilTag bitmaps are painted on top of their reserved areas, exactly
+    like the raster oracle replaces intensities there.
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    cell_m = spec.square_length_in_meters
+    sx, sy = spec.squares_x, spec.squares_y
+    # pattern coordinate range (feature coords)
+    x0, x1 = -1.0, sx - 1.0
+    y0, y1 = -1.0, sy - 1.0
+    width_m = (x1 - x0) * cell_m + 2 * page_margin_m
+    height_m = (y1 - y0) * cell_m + 2 * page_margin_m
+    inch = 0.0254
+    fig = plt.figure(figsize=(width_m / inch, height_m / inch))
+    ax = fig.add_axes([
+        page_margin_m / width_m, page_margin_m / height_m,
+        (x1 - x0) * cell_m / width_m, (y1 - y0) * cell_m / height_m,
+    ])
+    ax.set_xlim(x0, x1)
+    ax.set_ylim(y1, y0)  # pattern y grows downward like the raster
+    ax.axis("off")
+
+    n_seg = spec.num_star_segments
+    corner_angles = np.array([0.25, 0.75, 1.25, 1.75]) * np.pi
+
+    def boundary_point(phi):
+        c, s = np.cos(phi), np.sin(phi)
+        r = 0.5 / max(abs(c), abs(s))
+        return r * c, r * s
+
+    def clip_rect(pts):
+        """Sutherland-Hodgman clip of a polygon to the pattern rect."""
+        def clip_edge(poly, inside, intersect):
+            out = []
+            for i, p in enumerate(poly):
+                q = poly[i - 1]
+                pi, qi = inside(p), inside(q)
+                if pi:
+                    if not qi:
+                        out.append(intersect(q, p))
+                    out.append(p)
+                elif qi:
+                    out.append(intersect(q, p))
+            return out
+
+        def ix(q, p, val, axis):
+            t = (val - q[axis]) / (p[axis] - q[axis])
+            o = q[1 - axis] + t * (p[1 - axis] - q[1 - axis])
+            return (val, o) if axis == 0 else (o, val)
+
+        poly = pts
+        for axis, val, keep_ge in (
+            (0, x0, True), (0, x1, False), (1, y0, True), (1, y1, False),
+        ):
+            if not poly:
+                return []
+            poly = clip_edge(
+                poly,
+                (lambda p, a=axis, v=val, k=keep_ge:
+                 (p[a] >= v) if k else (p[a] <= v)),
+                lambda q, p, a=axis, v=val: ix(q, p, v, a),
+            )
+        return poly
+
+    for cy in range(-1, sy):
+        for cx in range(-1, sx):
+            # cells overlapping a tag area still draw: their star spill
+            # outside the tag's white ring is part of the pattern (the
+            # raster oracle behaves the same); the tag graphics painted
+            # below cover everything inside the ring
+            for k in range(n_seg):
+                if k % 2 == 0:
+                    continue  # white segment
+                # intensity(): seg index from angle' = atan2(dy,dx) − π/2
+                phi0 = 2 * np.pi * k / n_seg + 0.5 * np.pi
+                phi1 = 2 * np.pi * (k + 1) / n_seg + 0.5 * np.pi
+                pts = [(0.0, 0.0), boundary_point(phi0)]
+                # square corners strictly inside (phi0, phi1)
+                for m in range(8):
+                    ca = corner_angles[m % 4] + 2 * np.pi * (m // 4)
+                    if phi0 < ca < phi1:
+                        pts.append(boundary_point(ca))
+                pts.append(boundary_point(phi1))
+                poly = clip_rect([(cx + p[0], cy + p[1]) for p in pts])
+                if len(poly) < 3:
+                    continue
+                ax.fill([p[0] for p in poly], [p[1] for p in poly],
+                        color="black", linewidth=0, antialiased=False)
+
+    # AprilTags painted on top (10×10 incl. the outer white ring)
+    if spec.tags:
+        from camera_calibration_tpu.features import apriltag as at
+
+        for t in spec.tags:
+            img = at.render_tag(t.index)
+            ox, oy = t.x - 1, t.y - 1
+            csx = t.width / 8.0
+            csy = t.height / 8.0
+            ax.fill(
+                [ox - csx, ox + t.width + csx, ox + t.width + csx, ox - csx],
+                [oy - csy, oy - csy, oy + t.height + csy, oy + t.height + csy],
+                color="white", linewidth=0, antialiased=False,
+            )
+            for iv in range(10):
+                for iu in range(10):
+                    if img[iv, iu] >= 0.5:
+                        continue
+                    bx = ox + (iu - 1) * csx
+                    by = oy + (iv - 1) * csy
+                    ax.fill(
+                        [bx, bx + csx, bx + csx, bx],
+                        [by, by, by + csy, by + csy],
+                        color="black", linewidth=0, antialiased=False,
+                    )
+
+    fig.savefig(path)  # format from extension (.pdf => vector)
+    plt.close(fig)

@@ -270,8 +270,14 @@ def fit_parametric_to_dense(
     max_sample_count: int = 20000,
     max_iterations: int = 50,
     dtype=jnp.float64,
+    co_estimate_rotation: bool = False,
+    pixel_coords=None,
 ):
     """Fit a parametric model to a dense (H, W, 3) direction image.
+
+    With ``co_estimate_rotation`` a global rotation of the direction field
+    is estimated jointly and returned as ``(model, quaternion)`` — apply
+    it to ``camera_tr_rig`` as the reference does (calibration.cc:491-499).
 
     Linear init of pinhole + lifted distortion products on the sampled
     pixels (reference: parametric.cc:197-…, stacked per-pixel linear
@@ -286,45 +292,147 @@ def fit_parametric_to_dense(
     vy, vx = np.nonzero(valid)
     stride = max(1, vy.size // max_sample_count)
     sel = np.arange(0, vy.size, stride)
-    px = np.stack([vx[sel] + 0.5, vy[sel] + 0.5], -1)
+    if pixel_coords is not None:
+        # caller-supplied (H, W, 2) pixel coordinates of the raster cells
+        # (e.g. a subsampled field whose cells are NOT at (i+0.5))
+        pc = np.asarray(pixel_coords, np.float64)
+        px = pc[vy[sel], vx[sel]]
+    else:
+        px = np.stack([vx[sel] + 0.5, vy[sel] + 0.5], -1)
     d = dense_dirs[vy[sel], vx[sel]]
     d = d / np.linalg.norm(d, axis=-1, keepdims=True)
     front = d[:, 2] > 1e-6
     px, d = px[front], d[front]
     nxy = d[:, :2] / d[:, 2:3]
 
-    # Linear pinhole init on central samples (small radius, low distortion).
-    r = np.linalg.norm(nxy, axis=-1)
-    central = r < max(np.percentile(r, 30), 1e-3)
-    a = np.zeros((2 * central.sum(), 4))
-    a[0::2, 0] = nxy[central, 0]
-    a[0::2, 2] = 1.0
-    a[1::2, 1] = nxy[central, 1]
-    a[1::2, 3] = 1.0
-    rhs = px[central].reshape(-1)
-    sol, *_ = np.linalg.lstsq(a, rhs, rcond=None)
-    fx, fy, cx, cy = sol
+    # Full stacked linear init (reference: FitSimpleParametricToDense-
+    # ModelLinearly, parametric.cc:197-242): the pixel coordinate is
+    # linear in the LIFTED unknowns (fx, fx·k1, …, cx) because every
+    # distortion term is a known polynomial of the normalized coords.
+    # Solving per-axis least squares recovers the pinhole block AND the
+    # distortion coefficients — strong-fisheye fits start in the right
+    # basin instead of at zero distortion.
+    if isinstance(model_template, CentralThinPrismFisheyeModel) and \
+            model_template.use_equidistant_projection:
+        # the model distorts the equidistant-mapped coords; regress there
+        rr = np.linalg.norm(nxy, axis=-1)
+        theta = np.arctan(rr)
+        scale = np.where(rr > 1e-12, theta / np.maximum(rr, 1e-12), 1.0)
+        base = nxy * scale[:, None]
+    else:
+        base = nxy
+    x_, y_ = base[:, 0], base[:, 1]
+    r2 = x_ * x_ + y_ * y_
+    r4, r6, r8 = r2 * r2, r2 ** 3, r2 ** 4
+    xy = x_ * y_
+
+    def axis_solve(coord, rows):
+        a = np.stack(rows + [np.ones_like(x_)], -1)
+        sol, *_ = np.linalg.lstsq(a, coord, rcond=None)
+        return sol
 
     n_params = model_template.params.shape[-1]
     params0 = np.zeros(n_params)
+    if isinstance(model_template, CentralThinPrismFisheyeModel):
+        # px = fx·(x + k·radial + 2p1·xy + p2(r²+2x²) + sx1·r²) + cx
+        sx_sol = axis_solve(px[:, 0], [
+            x_, x_ * r2, x_ * r4, x_ * r6, x_ * r8,
+            2 * xy, r2 + 2 * x_ * x_, r2,
+        ])
+        sy_sol = axis_solve(px[:, 1], [
+            y_, y_ * r2, y_ * r4, y_ * r6, y_ * r8,
+            r2 + 2 * y_ * y_, 2 * xy, r2,
+        ])
+        fx, cx = sx_sol[0], sx_sol[-1]
+        fy, cy = sy_sol[0], sy_sol[-1]
+        if abs(fx) > 1e-9 and abs(fy) > 1e-9:
+            ks = 0.5 * (sx_sol[1:5] / fx + sy_sol[1:5] / fy)
+            p1 = 0.5 * (sx_sol[5] / fx + sy_sol[6] / fy)
+            p2 = 0.5 * (sx_sol[6] / fx + sy_sol[5] / fy)
+            sx1 = sx_sol[7] / fx
+            sy1 = sy_sol[7] / fy
+            params0[4:8] = ks
+            params0[8:10] = [p1, p2]
+            params0[10:12] = [sx1, sy1]
+    elif isinstance(model_template, CentralOpenCVModel):
+        # numerator-polynomial + tangential part linearly (rational
+        # denominators k4-k6 start at 0)
+        sx_sol = axis_solve(px[:, 0], [
+            x_, x_ * r2, x_ * r4, x_ * r6, 2 * xy, r2 + 2 * x_ * x_,
+        ])
+        sy_sol = axis_solve(px[:, 1], [
+            y_, y_ * r2, y_ * r4, y_ * r6, r2 + 2 * y_ * y_, 2 * xy,
+        ])
+        fx, cx = sx_sol[0], sx_sol[-1]
+        fy, cy = sy_sol[0], sy_sol[-1]
+        if abs(fx) > 1e-9 and abs(fy) > 1e-9:
+            params0[4:7] = 0.5 * (sx_sol[1:4] / fx + sy_sol[1:4] / fy)
+            params0[10] = 0.5 * (sx_sol[4] / fx + sy_sol[5] / fy)  # p1
+            params0[11] = 0.5 * (sx_sol[5] / fx + sy_sol[4] / fy)  # p2
+    else:
+        # radial-spline model: pinhole from the central 30% of the field
+        # (the spline absorbs the radial profile during LM refinement)
+        rr = np.linalg.norm(nxy, axis=-1)
+        central = rr < max(np.percentile(rr, 30), 1e-3)
+        a = np.zeros((2 * int(central.sum()), 4))
+        a[0::2, 0] = nxy[central, 0]
+        a[0::2, 2] = 1.0
+        a[1::2, 1] = nxy[central, 1]
+        a[1::2, 3] = 1.0
+        rhs = px[central].reshape(-1)
+        sol, *_ = np.linalg.lstsq(a, rhs, rcond=None)
+        fx, fy, cx, cy = sol
     params0[:4] = [fx, fy, cx, cy]
     model = replace(model_template, params=jnp.asarray(params0, dtype))
 
     pts = jnp.asarray(d, dtype)
     target_px = jnp.asarray(px, dtype)
 
-    def residual_fn(params):
+    if not co_estimate_rotation:
+        def residual_fn(params):
+            m = replace(model, params=params)
+            pred, _, pvalid = project_points(m, pts)
+            r = (pred - target_px) * pvalid[:, None]
+            return r.reshape(-1)
+
+        result = lm_solve(
+            residual_fn,
+            lambda params, delta: params + delta,
+            model.params,
+            jnp.zeros_like(model.params),
+            max_iterations=max_iterations,
+            cg_iterations=2 * n_params,
+        )
+        return replace(model, params=result.state)
+
+    # Co-estimate a rotation applied to the dense directions before
+    # projection (reference parametric_r_dense, parametric.cc:427-462;
+    # consumed by folding it into camera_tr_rig, calibration.cc:491-499).
+    # State = (params, accumulated quaternion); the LM tangent carries a
+    # 3-vector rotation increment retracted on the left.
+    from camera_calibration_tpu.ops import se3 as se3_ops
+
+    def residual_fn2(state):
+        params, q = state
         m = replace(model, params=params)
-        pred, _, pvalid = project_points(m, pts)
+        rd = se3_ops.quat_rotate(q, pts)
+        pred, _, pvalid = project_points(m, rd)
         r = (pred - target_px) * pvalid[:, None]
         return r.reshape(-1)
 
+    def retract_fn2(state, delta):
+        params, q = state
+        dp, dw = delta
+        return (params + dp, se3_ops.quat_mul(se3_ops.quat_exp(dw), q))
+
+    q0 = jnp.asarray([1.0, 0.0, 0.0, 0.0], dtype)
     result = lm_solve(
-        residual_fn,
-        lambda params, delta: params + delta,
-        model.params,
-        jnp.zeros_like(model.params),
+        residual_fn2,
+        retract_fn2,
+        (model.params, q0),
+        (jnp.zeros_like(model.params), jnp.zeros(3, dtype)),
         max_iterations=max_iterations,
-        cg_iterations=2 * n_params,
+        cg_iterations=2 * n_params + 6,
     )
-    return replace(model, params=result.state)
+    params_f, q_f = result.state
+    return replace(model, params=params_f), q_f

@@ -90,13 +90,18 @@ def quat_exp(u):
     """Exp map: tangent (...,3) -> unit quaternion rotating by angle |u|.
 
     Standard half-angle convention: R(quat_exp(u)) = exp([u]_x).
+    Gradient-safe at u = 0 in both AD modes (the norm is computed from a
+    sanitized squared length so reverse mode never sees 0/0; the small
+    branch uses the Taylor series).
     """
-    angle = jnp.linalg.norm(u, axis=-1, keepdims=True)
+    sq = jnp.sum(u * u, axis=-1, keepdims=True)
+    small = sq < 1e-16
+    sq_safe = jnp.where(small, 1.0, sq)
+    angle = jnp.sqrt(sq_safe)
     half = 0.5 * angle
-    # sinc-safe
-    small = angle < 1e-8
-    k = jnp.where(small, 0.5, jnp.sin(half) / jnp.where(small, 1.0, angle))
-    w = jnp.cos(half)
+    # sinc(half)/2: series 0.5 − sq/48 + O(sq²) near zero
+    k = jnp.where(small, 0.5 - sq / 48.0, jnp.sin(half) / angle)
+    w = jnp.where(small, 1.0 - sq / 8.0, jnp.cos(half))
     return jnp.concatenate([w, k * u], axis=-1)
 
 

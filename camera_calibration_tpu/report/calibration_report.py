@@ -174,18 +174,120 @@ def create_calibration_report(
             fig.savefig(prefix + "_error_magnitudes.png")
             plt.close(fig)
 
-            hue = (np.angle(angc) + np.pi) / (2 * np.pi)
-            sat = np.where(cnt_img > 0, 1.0, 0.0)
-            val = np.where(cnt_img > 0, 1.0, 0.2)
+            # Voronoi error-direction diagram: every raster pixel takes
+            # the error direction (hue) and magnitude (value) of its
+            # NEAREST observation — the reference's CreateVoronoiDiagram
+            # (calibration_report.cc:354).
             import matplotlib.colors as mcolors
+            from scipy.spatial import cKDTree
 
-            rgb = mcolors.hsv_to_rgb(np.stack([hue, sat, val], -1))
+            vw = min(w, 640)
+            vh = max(1, int(round(vw * h / w)))
+            gxv, gyv = np.meshgrid(
+                (np.arange(vw) + 0.5) * w / vw,
+                (np.arange(vh) + 0.5) * h / vh,
+            )
+            tree = cKDTree(pix)
+            _, idx = tree.query(
+                np.stack([gxv.ravel(), gyv.ravel()], -1), k=1
+            )
+            ang = np.arctan2(err[idx, 1], err[idx, 0]).reshape(vh, vw)
+            mag_v = mags[idx].reshape(vh, vw)
+            hue_v = (ang + np.pi) / (2 * np.pi)
+            val_v = np.clip(mag_v / max(max_error_px, 1e-9), 0.15, 1.0)
+            rgb = mcolors.hsv_to_rgb(
+                np.stack([hue_v, np.ones_like(hue_v), val_v], -1)
+            )
             fig, ax = plt.subplots(figsize=(5, 4), dpi=100)
             ax.imshow(rgb)
-            ax.set_title("mean error direction (hue)")
+            ax.set_title("error direction (hue) / magnitude (value), Voronoi")
             fig.tight_layout()
             fig.savefig(prefix + "_error_directions.png")
             plt.close(fig)
+
+        # grid knot pixel locations (grid models only; reference
+        # report_cameraX_grid_point_locations.png)
+        if protocol.is_grid_model(model):
+            from camera_calibration_tpu.models import central_generic as cg_m
+            from camera_calibration_tpu.models import noncentral_generic as ncg_m
+
+            if isinstance(model, ncg_m.NoncentralGenericModel):
+                probe = cg_m.CentralGenericModel(
+                    grid=model.direction_grid,
+                    width=w, height=h,
+                    calibration_min_x=model.calibration_min_x,
+                    calibration_min_y=model.calibration_min_y,
+                    calibration_max_x=model.calibration_max_x,
+                    calibration_max_y=model.calibration_max_y,
+                )
+            else:
+                probe = model
+            knot_px = np.asarray(cg_m.grid_point_pixels(probe)).reshape(-1, 2)
+            fig, ax = plt.subplots(figsize=(5, 4), dpi=100)
+            ax.scatter(knot_px[:, 0], knot_px[:, 1], s=6)
+            ax.set_xlim(
+                min(0, knot_px[:, 0].min()), max(w, knot_px[:, 0].max())
+            )
+            ax.set_ylim(
+                max(h, knot_px[:, 1].max()), min(0, knot_px[:, 1].min())
+            )
+            ax.add_patch(plt.Rectangle((0, 0), w, h, fill=False,
+                                       edgecolor="red"))
+            ax.set_title("grid knot locations (image box in red)")
+            fig.tight_layout()
+            fig.savefig(prefix + "_grid_point_locations.png")
+            plt.close(fig)
+
+        # non-central extras: per-pixel line-offset magnitudes + a 3D .obj
+        # line visualization (reference calibration_report.cc:934-936)
+        from camera_calibration_tpu.models import noncentral_generic as ncg_m
+
+        if isinstance(model, ncg_m.NoncentralGenericModel):
+            ys_n = np.linspace(1, h - 2, 60)
+            xs_n = np.linspace(1, w - 2, 80)
+            gxn, gyn = np.meshgrid(xs_n, ys_n)
+            pxn = jnp.asarray(np.stack([gxn, gyn], -1).reshape(-1, 2))
+            d_n, o_n, v_n = ncg_m.unproject(model, pxn)
+            d_n = np.asarray(d_n)
+            o_n = np.asarray(o_n)
+            # offsets relative to the best single center (least-squares
+            # intersection point of all lines): how non-central is each px
+            proj = np.eye(3)[None] - d_n[:, :, None] * d_n[:, None, :]
+            a_sum = proj.sum(0)
+            b_sum = np.einsum("nij,nj->i", proj, o_n)
+            try:
+                center = np.linalg.solve(a_sum, b_sum)
+            except np.linalg.LinAlgError:
+                center = o_n.mean(0)
+            rel = o_n - center
+            off = np.linalg.norm(
+                rel - np.einsum("nj,nj->n", rel, d_n)[:, None] * d_n, axis=1
+            ).reshape(len(ys_n), len(xs_n))
+            fig, ax = plt.subplots(figsize=(5, 4), dpi=100)
+            im = ax.imshow(off * 1000.0, cmap="viridis")
+            fig.colorbar(im, ax=ax, label="line offset from best center [mm]")
+            ax.set_title("non-centrality (line offsets)")
+            fig.tight_layout()
+            fig.savefig(prefix + "_line_offsets.png")
+            plt.close(fig)
+
+            # .obj export: one segment per sampled pixel around the
+            # closest approach to the best center
+            with open(prefix + "_lines.obj", "w") as f:
+                f.write("# noncentral camera line visualization\n")
+                step = 7  # subsample for a readable mesh
+                seg_half = 0.05
+                count = 0
+                for i in range(0, d_n.shape[0], step):
+                    t0 = np.dot(center - o_n[i], d_n[i])
+                    p_mid = o_n[i] + t0 * d_n[i]
+                    a = p_mid - seg_half * d_n[i]
+                    b = p_mid + seg_half * d_n[i]
+                    f.write("v %.8g %.8g %.8g\n" % tuple(a))
+                    f.write("v %.8g %.8g %.8g\n" % tuple(b))
+                    count += 1
+                for i in range(count):
+                    f.write(f"l {2 * i + 1} {2 * i + 2}\n")
 
         # observation directions visualization
         ys = np.linspace(1, h - 2, 120)

@@ -26,8 +26,15 @@ def fit_and_report(
     model_names=("central_thin_prism_fisheye", "central_opencv", "central_radial"),
     subsample: int = 4,
     log=print,
+    co_estimate_rotation: bool = False,
 ):
     """Fit parametric models to `generic_model`; write report files.
+
+    With ``co_estimate_rotation`` each fit additionally estimates a global
+    rotation of the calibration (reference parametric_r_dense,
+    parametric.cc:427-462); it is reported as ``rotation_quaternion`` and
+    should be folded into camera_tr_rig by the caller
+    (calibration.cc:491-499).
 
     Returns {name: metrics dict}.
     """
@@ -59,16 +66,26 @@ def fit_and_report(
         ),
     }
 
+    pixel_coords = np.stack([gx, gy], -1)
     out = {}
     for name in model_names:
-        fitted = pm.fit_parametric_to_dense(
-            templates[name], dense, vmask, max_iterations=60
+        res = pm.fit_parametric_to_dense(
+            templates[name], dense, vmask, max_iterations=60,
+            pixel_coords=pixel_coords,
+            co_estimate_rotation=co_estimate_rotation,
         )
+        if co_estimate_rotation:
+            fitted, q_rot = res
+        else:
+            fitted, q_rot = res, None
         # residual field: project the generic directions with the fitted
         # model, compare against the source pixels
-        pred, _, pvalid = pm.project_points(
-            fitted, jnp.asarray(dense.reshape(-1, 3))
-        )
+        from camera_calibration_tpu.ops import se3 as se3_ops
+
+        dirs_flat = jnp.asarray(dense.reshape(-1, 3))
+        if q_rot is not None:
+            dirs_flat = se3_ops.quat_rotate(jnp.asarray(q_rot), dirs_flat)
+        pred, _, pvalid = pm.project_points(fitted, dirs_flat)
         m = np.asarray(pvalid) & vmask.reshape(-1)
         err_vec = np.asarray(pred) - np.asarray(px)
         err = np.linalg.norm(err_vec, axis=-1)
@@ -79,13 +96,18 @@ def fit_and_report(
             "fitting_error_average_px": float(np.mean(err[m])),
             "fitting_error_maximum_px": float(np.max(err[m])),
         }
+        if q_rot is not None:
+            metrics["rotation_quaternion"] = [float(v) for v in np.asarray(q_rot)]
         out[name] = metrics
         log(f"[fitting] {name}: {metrics}")
 
         prefix = os.path.join(base_path, f"fitting_{name}")
         with open(prefix + "_info.txt", "w") as f:
             for k, v in metrics.items():
-                f.write(f"{k} : {v:.14g}\n")
+                if isinstance(v, list):
+                    f.write(f"{k} : " + " ".join(f"{x:.14g}" for x in v) + "\n")
+                else:
+                    f.write(f"{k} : {v:.14g}\n")
         fig, ax = plt.subplots(figsize=(5, 4), dpi=100)
         im = ax.imshow(err_field, cmap="inferno")
         fig.colorbar(im, ax=ax, label="|reprojection residual| [px]")

@@ -165,3 +165,55 @@ def test_full_calibrate_parametric_model():
         feature_id_to_point_index=fid,
     )
     assert rep["reprojection_error_median"] < 0.05, rep
+
+
+def test_calibration_report_noncentral_extras(tmp_path):
+    """Voronoi diagram + grid locations + line offsets + .obj export
+    (reference: calibration_report.cc:354, 934-936)."""
+    import ba_harness
+    from camera_calibration_tpu.ba.dataset import split_by_camera
+    from camera_calibration_tpu.report.calibration_report import (
+        create_calibration_report,
+    )
+
+    # reuse the noncentral BA harness problem (state with a noncentral
+    # model + observations)
+    import test_ba as tb
+    import jax.numpy as jnp
+    import numpy as np
+    from camera_calibration_tpu.models import noncentral_generic as ncg
+    from camera_calibration_tpu.models import central_generic as cg
+
+    state_gt, obs, segments = ba_harness.make_problem(
+        seed=6, n_points=40, n_poses=6
+    )
+    central = state_gt.intrinsics[0]
+    noncentral = ncg.NoncentralGenericModel(
+        direction_grid=central.grid,
+        point_grid=jnp.asarray(
+            0.01 * np.random.default_rng(0).normal(
+                0, 1, central.grid.shape
+            )
+        ),
+        width=central.width, height=central.height,
+        calibration_min_x=central.calibration_min_x,
+        calibration_min_y=central.calibration_min_y,
+        calibration_max_x=central.calibration_max_x,
+        calibration_max_y=central.calibration_max_y,
+    )
+    state = type(state_gt)(
+        rig_q_global=state_gt.rig_q_global,
+        rig_t_global=state_gt.rig_t_global,
+        cam_q_rig=state_gt.cam_q_rig,
+        cam_t_rig=state_gt.cam_t_rig,
+        points=state_gt.points,
+        intrinsics=(noncentral,),
+    )
+    data = split_by_camera(obs, segments)
+    create_calibration_report(str(tmp_path), state, data)
+    for suffix in ("_info.txt", "_error_directions.png",
+                   "_grid_point_locations.png", "_line_offsets.png",
+                   "_lines.obj"):
+        assert (tmp_path / f"report_camera0{suffix}").exists(), suffix
+    obj = (tmp_path / "report_camera0_lines.obj").read_text()
+    assert obj.count("\nl ") > 100

@@ -91,3 +91,97 @@ def test_export_ba_state(tmp_path):
     assert len(m.images) == 3
     assert len(m.points3d) == 20
     assert isinstance(m.cameras[1], pm.CentralThinPrismFisheyeModel)
+
+
+def test_refine_colmap_tool(tmp_path):
+    """COLMAP-model BA refinement round trip
+    (reference: tools/bundle_adjustment.cc:50,190)."""
+    import ba_harness
+    from camera_calibration_tpu import cli
+    from camera_calibration_tpu.ops import se3
+    import jax.numpy as jnp
+
+    # build a COLMAP model from a perturbed synthetic parametric problem
+    state_gt, obs, segments = ba_harness.make_problem(
+        seed=10, n_points=40, n_poses=6, model_kind="tpf"
+    )
+    state0 = ba_harness.perturb_state(state_gt, seed=11, knot_sigma=0.0)
+    # images with per-observation tracks
+    imgs = []
+    n = obs.imageset.shape[0]
+    pts2d_per_img = {i: [] for i in range(6)}
+    for k in range(n):
+        si = int(obs.imageset[k])
+        pts2d_per_img[si].append(
+            (float(obs.pixel[k, 0]), float(obs.pixel[k, 1]),
+             int(obs.point[k]) + 1)
+        )
+    for si in range(6):
+        q, t = se3.se3_compose(
+            state0.cam_q_rig[0], state0.cam_t_rig[0],
+            state0.rig_q_global[si], state0.rig_t_global[si],
+        )
+        imgs.append(colmap.ColmapImage(
+            image_id=si + 1, q=np.asarray(q), t=np.asarray(t),
+            camera_id=1, name=f"im{si}.png",
+            points2d=pts2d_per_img[si],
+        ))
+    pts3d = {
+        i + 1: (np.asarray(state0.points[i]), np.array([0, 0, 0]), 0.0, [])
+        for i in range(40)
+    }
+    model = colmap.ColmapModel(
+        cameras={1: state_gt.intrinsics[0]}, images=imgs, points3d=pts3d
+    )
+    colmap.write_model(tmp_path / "in", model)
+
+    rc = cli.main([
+        "refine-colmap", "--colmap_model", str(tmp_path / "in"),
+        "--output_directory", str(tmp_path / "out"),
+        "--iterations", "25", "--freeze", "intrinsics",
+    ])
+    assert rc == 0
+    refined = colmap.read_model(tmp_path / "out")
+    # poses+points must have re-converged: compare reprojection errors
+    from camera_calibration_tpu.models import parametric as pm
+    errs = []
+    for im in refined.images:
+        q = jnp.asarray(im.q)
+        t = jnp.asarray(im.t)
+        for (x, y, pid) in im.points2d:
+            xyz = jnp.asarray(refined.points3d[pid][0])
+            from camera_calibration_tpu.ops import se3 as s3
+            xc = s3.quat_rotate(q, xyz) + t
+            px, _, v = pm.project_points(refined.cameras[1], xc[None])
+            if bool(v[0]):
+                errs.append(np.hypot(float(px[0, 0]) - x, float(px[0, 1]) - y))
+    assert np.median(errs) < 1e-3, np.median(errs)
+
+
+def test_visualize_calibration_kalibr(tmp_path):
+    """(reference: tools/visualize_calibration.cc Kalibr input)"""
+    from camera_calibration_tpu import cli
+
+    yml = tmp_path / "camchain.yaml"
+    yml.write_text(
+        "cam0:\n"
+        "  camera_model: pinhole\n"
+        "  intrinsics: [460.0, 458.0, 320.0, 240.0]\n"
+        "  distortion_model: radtan\n"
+        "  distortion_coeffs: [-0.28, 0.07, 0.0002, 0.00002]\n"
+        "  resolution: [640, 480]\n"
+        "cam1:\n"
+        "  camera_model: pinhole\n"
+        "  intrinsics: [230.0, 229.0, 160.0, 120.0]\n"
+        "  distortion_model: equidistant\n"
+        "  distortion_coeffs: [0.01, -0.002, 0.0, 0.0]\n"
+        "  resolution: [320, 240]\n"
+    )
+    rc = cli.main([
+        "visualize-calibration", "--kalibr_yaml", str(yml),
+        "--output_directory", str(tmp_path / "viz"),
+    ])
+    assert rc == 0
+    assert (tmp_path / "viz" / "kalibr_camera0_directions.png").exists()
+    assert (tmp_path / "viz" / "kalibr_camera1_directions.png").exists()
+    assert (tmp_path / "viz" / "kalibr_camera0_distortion.png").exists()

@@ -121,3 +121,56 @@ def test_detector_gradient_refinement():
         [np.linalg.norm(f.xy - gt[corner_map[f.feature_id]]) for f in features]
     )
     assert np.median(errs) < 0.1, np.median(errs)
+
+
+def test_pattern_pdf_matches_raster_oracle(tmp_path):
+    """The vector PDF drawing must reproduce the intensity oracle.
+
+    Rasterize the same matplotlib figure to PNG and compare per-pixel
+    against render_pattern (reference PDF generator analog:
+    scripts/create_calibration_pattern.py)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import numpy as np
+
+    spec = pat.PatternSpec(
+        num_star_segments=16, squares_x=8, squares_y=6,
+        square_length_in_meters=0.02,
+        tags=[pat.AprilTagInfo(x=3, y=2, width=2, height=2, index=0)],
+    )
+    pdf_path = tmp_path / "pattern.pdf"
+    pat.save_pattern_pdf(spec, str(pdf_path))
+    assert pdf_path.stat().st_size > 4000
+
+    # draw to PNG through the same code path
+    png_path = tmp_path / "pattern.png"
+    pat.save_pattern_pdf(spec, str(png_path))  # matplotlib infers format
+    import matplotlib.pyplot as plt
+    img = plt.imread(str(png_path))
+    gray = img[..., :3].mean(-1)
+    h_px, w_px = gray.shape
+
+    # map PNG pixels -> pattern coords (margin 0.005 m, cell 0.02 m)
+    cell_m, margin = 0.02, 0.005
+    x0p, y0p = -1.0, -1.0
+    wm = (spec.squares_x) * cell_m + 2 * margin
+    hm = (spec.squares_y) * cell_m + 2 * margin
+    xs = (np.arange(w_px) + 0.5) / w_px * wm - margin
+    ys = (np.arange(h_px) + 0.5) / h_px * hm - margin
+    gx, gy = np.meshgrid(x0p + xs / cell_m, y0p + ys / cell_m)
+    inside = (
+        (gx > -0.9) & (gx < spec.squares_x - 1.1)
+        & (gy > -0.9) & (gy < spec.squares_y - 1.1)
+    )
+    ref = spec.intensity(np.stack([gx, gy], -1))
+    renderer = pat.make_tag_renderer(spec)
+    ref = renderer(np.stack([gx, gy], -1), ref)
+    # exclude pixels near black/white boundaries (rasterization edges)
+    from scipy.ndimage import minimum_filter, maximum_filter
+    flat = minimum_filter(ref, 5) == maximum_filter(ref, 5)
+    m = inside & flat
+    match = np.abs(gray[m] - ref[m]) < 0.5
+    # residual mismatches are rasterization-edge pixels (tag cell borders
+    # at this dpi); the wedge+tag geometry itself matches exactly
+    assert match.mean() > 0.99, match.mean()
