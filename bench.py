@@ -110,6 +110,73 @@ def make_bench_problem(w=640, h=480, gres=16, n_points=1024, n_poses=256,
     return state, data, {"n_obs": n, "gres": gres}
 
 
+def bench_corner_refinement():
+    """Corner refinement throughput on the chip (features/s).
+
+    2048 features × 512 samples × 30 LM iterations on a 1280×1024 image,
+    patches extracted on-device (the whole detector hot path)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from camera_calibration_tpu.features import patch_refinement as pr
+    from camera_calibration_tpu.features import refinement as ref
+
+    rng = np.random.default_rng(0)
+    h, w = 1024, 1280
+    img = rng.uniform(0, 1, (h, w)).astype(np.float32)
+    n_f, n_s, whs = 2048, 512, 10
+    positions = rng.uniform(60, [w - 60, h - 60], (n_f, 2))
+    patch = pr.patch_size_for_window(whs)
+    img_j = jax.device_put(jnp.asarray(img))
+    float(img_j.sum())
+    x0, y0 = pr.patch_origins(img.shape, positions, patch)
+    yx = jnp.asarray(np.stack([y0, x0], -1).astype(np.int32))
+    oj = jnp.asarray(np.stack([x0, y0], -1).astype(np.float32))
+    h0 = np.tile(np.eye(3, dtype=np.float32), (n_f, 1, 1))
+    h0[:, 0, 0] += rng.uniform(-0.05, 0.05, n_f)
+    h0[:, 1, 1] += rng.uniform(-0.05, 0.05, n_f)
+    offs = ref.make_sample_offsets(rng, whs, n_s) * whs
+    samples = np.tile(offs[None], (n_f, 1, 1)).astype(np.float32)
+    hj = jnp.asarray(h0)
+    sj = jnp.asarray(samples)
+    svj = jnp.asarray(np.ones((n_f, n_s), bool))
+    posj = jnp.asarray(positions.astype(np.float32))
+
+    def run():
+        pd = pr.extract_patches_device(img_j, yx, patch)
+        pos, cost, ok = pr.refine_symmetry_patches(
+            pd, oj, posj, hj, sj, svj, whs
+        )
+        return float(pos.sum())
+
+    run()
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run()
+        ts.append(time.perf_counter() - t0)
+    return n_f / min(ts)
+
+
+def bench_scaling_subprocess():
+    """GSPMD sharding-overhead measurement in a CPU subprocess."""
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable,
+         __file__.replace("bench.py", "bench_scaling.py")],
+        capture_output=True, text=True, timeout=900,
+    )
+    for line in reversed(out.stdout.splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(out.stdout[-500:] + out.stderr[-500:])
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -147,6 +214,18 @@ def main():
     t1 = time.perf_counter()
 
     iters_per_s = n_calls * n_scan / (t1 - t0)
+
+    extras = {}
+    try:
+        extras["corner_refinements_per_s"] = round(bench_corner_refinement())
+    except Exception as e:  # fail-soft: the headline metric still prints
+        extras["corner_refinements_per_s_error"] = str(e)[:200]
+    try:
+        sc = bench_scaling_subprocess()
+        extras["gspmd_8dev_efficiency_vs_1dev_cpu"] = sc["gspmd_efficiency"]
+    except Exception as e:
+        extras["scaling_error"] = str(e)[:200]
+
     print(
         json.dumps(
             {
@@ -154,6 +233,7 @@ def main():
                 "value": round(iters_per_s, 3),
                 "unit": f"LM iter/s ({n} obs, {gres}x{gres} grid, 1 chip)",
                 "vs_baseline": round(iters_per_s / BASELINE_LM_ITERS_PER_S, 3),
+                **extras,
             }
         )
     )

@@ -83,6 +83,14 @@ class BAOptions:
     # per-dispatch latency of the remote TPU runtime.  1 = step-per-call
     # (checkpoint/callback granularity of one iteration).
     lm_steps_per_call: int = 1
+    # Memory-bounded block computation: when set, residual/Jacobian blocks
+    # are evaluated in lax.map chunks of this many observations so the
+    # projection/IFT transients never exceed the chunk footprint — the
+    # TPU analog of the reference's on-the-fly SchurModes
+    # (lm_optimizer.h:297-307): bound memory by streaming, keep the
+    # (irreducible) per-observation block cache.  Must divide the padded
+    # table size.  None = single fused evaluation.
+    block_chunk: int | None = None
 
 
 def _tree_dot(a, b):
@@ -114,19 +122,43 @@ def compute_blocks(data, state: BAState, warm_xy, options: BAOptions):
             if isinstance(model, CentralGenericModel)
             else None
         )
-        b, w = res.segment_blocks(
-            model,
-            state,
-            seg.imageset,
-            seg.camera,
-            seg.point,
-            seg.pixel,
-            seg.valid,
-            warm_xy[ci],
-            huber_px=options.huber_px,
-            max_proj_iterations=options.proj_iterations,
-            tangent_frames=frames,
-        )
+
+        def eval_blocks(tbl, warm):
+            return res.segment_blocks(
+                model,
+                state,
+                tbl.imageset,
+                tbl.camera,
+                tbl.point,
+                tbl.pixel,
+                tbl.valid,
+                warm,
+                huber_px=options.huber_px,
+                max_proj_iterations=options.proj_iterations,
+                tangent_frames=frames,
+            )
+
+        chunk = options.block_chunk
+        n_obs = seg.imageset.shape[0]
+        if chunk and n_obs > chunk and n_obs % chunk == 0:
+            k = n_obs // chunk
+
+            def reshard(a):
+                return a.reshape((k, chunk) + a.shape[2:])
+
+            tbl_c = jax.tree_util.tree_map(
+                lambda a: a.reshape((k, chunk) + a.shape[1:]), seg
+            )
+            warm_c = warm_xy[ci].reshape(k, chunk, 2)
+            b, w = jax.lax.map(
+                lambda args: eval_blocks(args[0], args[1]), (tbl_c, warm_c)
+            )
+            b = jax.tree_util.tree_map(
+                lambda a: a.reshape((n_obs,) + a.shape[2:]), b
+            )
+            w = w.reshape(n_obs, 2)
+        else:
+            b, w = eval_blocks(seg, warm_xy[ci])
         blocks.append(b)
         new_warm.append(w)
     return blocks, tuple(new_warm)
@@ -502,18 +534,36 @@ def total_cost(data, state, warm_xy, options):
     """Robust total cost + per-obs validity (paired-comparison support)."""
     costs, valids, warms = [], [], []
     for ci, seg in enumerate(data):
-        cost, valid, w = res.segment_cost(
-            state.intrinsics[ci],
-            state,
-            seg.imageset,
-            seg.camera,
-            seg.point,
-            seg.pixel,
-            seg.valid,
-            warm_xy[ci],
-            huber_px=options.huber_px,
-            max_proj_iterations=options.proj_iterations,
-        )
+        def eval_cost(tbl, warm):
+            return res.segment_cost(
+                state.intrinsics[ci],
+                state,
+                tbl.imageset,
+                tbl.camera,
+                tbl.point,
+                tbl.pixel,
+                tbl.valid,
+                warm,
+                huber_px=options.huber_px,
+                max_proj_iterations=options.proj_iterations,
+            )
+
+        chunk = options.block_chunk
+        n_obs = seg.imageset.shape[0]
+        if chunk and n_obs > chunk and n_obs % chunk == 0:
+            k = n_obs // chunk
+            tbl_c = jax.tree_util.tree_map(
+                lambda a: a.reshape((k, chunk) + a.shape[1:]), seg
+            )
+            warm_c = warm_xy[ci].reshape(k, chunk, 2)
+            cost, valid, w = jax.lax.map(
+                lambda args: eval_cost(args[0], args[1]), (tbl_c, warm_c)
+            )
+            cost = cost.reshape(n_obs)
+            valid = valid.reshape(n_obs)
+            w = w.reshape(n_obs, 2)
+        else:
+            cost, valid, w = eval_cost(seg, warm_xy[ci])
         costs.append(cost)
         valids.append(valid)
         warms.append(w)

@@ -198,3 +198,31 @@ def test_localize_only_mode():
     )
     err = np.asarray(ba_harness.reprojection_errors(state, obs, segments))
     assert np.median(err[np.isfinite(err)]) < 1e-3, np.median(err)
+
+
+def test_block_chunk_streaming_matches():
+    """Memory-bounded chunked block evaluation must be numerically
+    identical to the fused evaluation (reference on-the-fly SchurMode
+    semantics, lm_optimizer.h:297-307)."""
+    import jax.numpy as jnp
+
+    from camera_calibration_tpu.ba.dataset import pad_table, split_by_camera
+
+    state_gt, obs, segments = ba_harness.make_problem(
+        seed=14, n_points=40, n_poses=8
+    )
+    state0 = ba_harness.perturb_state(state_gt, seed=15)
+    data = tuple(pad_table(s, 256) for s in split_by_camera(obs, segments))
+    warm = tuple(s.pixel for s in data)
+    lam = jnp.asarray(-1.0, jnp.float64)
+
+    out_a = lm_pcg.make_lm_step(lm_pcg.BAOptions(max_pcg_iterations=30))(
+        state0, warm, lam, data
+    )
+    out_b = lm_pcg.make_lm_step(
+        lm_pcg.BAOptions(max_pcg_iterations=30, block_chunk=256)
+    )(state0, warm, lam, data)
+    assert float(out_a[4]) == float(out_b[4])  # identical cost
+    np.testing.assert_allclose(
+        np.asarray(out_a[0].points), np.asarray(out_b[0].points), atol=1e-12
+    )

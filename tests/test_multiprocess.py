@@ -1,0 +1,140 @@
+"""2-process multi-host test on a CPU mesh.
+
+Launches two coordinated processes (jax.distributed, 4 forced host
+devices each → one 8-device global mesh) and runs one sharded BA LM step;
+the result must match the single-process 8-device run bit-for-cost.
+This exercises the real multi-host code path (global arrays built from
+per-host shards, cross-process AllReduce) without TPU pod hardware —
+SURVEY §4's "multi-node tests via a CPU mesh" tier.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+_WORKER = r"""
+import json, os, sys
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=4"
+)
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+proc_id = int(sys.argv[1])
+coord = sys.argv[2]
+
+from camera_calibration_tpu.parallel import distributed as dist
+
+dist.initialize(coordinator_address=coord, num_processes=2,
+                process_id=proc_id)
+assert jax.process_count() == 2, jax.process_count()
+assert len(jax.devices()) == 8, len(jax.devices())
+
+import jax.numpy as jnp
+sys.path.insert(0, os.getcwd())  # tests/ (subprocess cwd)
+import ba_harness
+from camera_calibration_tpu.ba import lm_pcg
+from camera_calibration_tpu.ba.dataset import ObservationTable, pad_table, split_by_camera
+
+state_gt, obs, segments = ba_harness.make_problem(seed=0, n_points=40, n_poses=8)
+state0 = ba_harness.perturb_state(state_gt, seed=1)
+data = tuple(pad_table(s, 8) for s in split_by_camera(obs, segments))
+
+# this host's local slice: contiguous half of each table
+local = []
+for seg in data:
+    n = seg.imageset.shape[0]
+    half = n // 2
+    sl = slice(proc_id * half, (proc_id + 1) * half)
+    local.append(ObservationTable(
+        imageset=seg.imageset[sl], camera=seg.camera[sl],
+        point=seg.point[sl], pixel=seg.pixel[sl], valid=seg.valid[sl],
+    ))
+
+mesh = dist.global_mesh()
+data_sh = dist.shard_observations_multihost(tuple(local), mesh)
+state_sh = dist.replicate_multihost(state0, mesh)
+warm_sh = tuple(s.pixel for s in data_sh)
+lam_sh = dist.replicate_multihost(jnp.asarray(-1.0, jnp.float64), mesh)
+
+options = lm_pcg.BAOptions(max_pcg_iterations=25)
+step = lm_pcg.make_lm_step(options)
+out = step(state_sh, warm_sh, lam_sh, data_sh)
+cost = float(out[4])
+new_cost = float(out[5])
+print("RESULT " + json.dumps({"pid": proc_id, "cost": cost,
+                              "new_cost": new_cost}), flush=True)
+"""
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.mark.timeout(600)
+def test_two_process_cpu_mesh(tmp_path):
+    worker = tmp_path / "worker.py"
+    worker.write_text(_WORKER)
+    port = _free_port()
+    coord = f"127.0.0.1:{port}"
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(i), coord],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True, env=env,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=560)
+        outs.append(out)
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-3000:]
+    results = {}
+    for out in outs:
+        for line in out.splitlines():
+            if line.startswith("RESULT "):
+                r = json.loads(line[len("RESULT "):])
+                results[r["pid"]] = r
+    assert set(results) == {0, 1}, outs[0][-2000:]
+    # both processes compute the same replicated result
+    assert results[0]["cost"] == results[1]["cost"]
+    assert results[0]["new_cost"] == results[1]["new_cost"]
+
+    # and it matches the single-process 8-device reference
+    import jax
+    import jax.numpy as jnp
+    import ba_harness
+    from camera_calibration_tpu.ba import lm_pcg
+    from camera_calibration_tpu.ba.dataset import pad_table, split_by_camera
+    from camera_calibration_tpu.parallel import sharding
+
+    state_gt, obs, segments = ba_harness.make_problem(
+        seed=0, n_points=40, n_poses=8
+    )
+    state0 = ba_harness.perturb_state(state_gt, seed=1)
+    data = tuple(pad_table(s, 8) for s in split_by_camera(obs, segments))
+    mesh = sharding.make_mesh(jax.devices()[:8])
+    data_sh = sharding.shard_observations(data, mesh)
+    state_sh = sharding.replicate(state0, mesh)
+    warm_sh = tuple(s.pixel for s in data_sh)
+    lam_sh = sharding.replicate(jnp.asarray(-1.0, jnp.float64), mesh)
+    step = lm_pcg.make_lm_step(lm_pcg.BAOptions(max_pcg_iterations=25))
+    out = step(state_sh, warm_sh, lam_sh, data_sh)
+    cost_ref = float(out[4])
+    assert abs(results[0]["cost"] - cost_ref) < 1e-9 * max(1.0, abs(cost_ref))

@@ -50,3 +50,52 @@ def test_sharded_step_matches_single_device():
         np.asarray(out_single[0].points), np.asarray(out_sh[0].points),
         atol=1e-5,
     )
+
+
+def test_sharded_full_optimize_converges():
+    """Full LM optimize() on sharded tables reaches the optimum (not just
+    one step)."""
+    state_gt, obs, segments = ba_harness.make_problem(
+        seed=5, n_points=40, n_poses=8
+    )
+    state0 = ba_harness.perturb_state(state_gt, seed=6)
+    data = tuple(pad_table(s, 8) for s in split_by_camera(obs, segments))
+    mesh = sharding.make_mesh(jax.devices()[:8])
+    data_sh = sharding.shard_observations(data, mesh)
+    state_sh = sharding.replicate(state0, mesh)
+    options = lm_pcg.BAOptions(
+        max_lm_iterations=25, max_pcg_iterations=60,
+        cost_reduction_threshold=1e-8,
+    )
+    state, info = lm_pcg.optimize(state_sh, None, None, options, data=data_sh)
+    err = np.asarray(ba_harness.reprojection_errors(state, obs, segments))
+    assert np.median(err) < 1e-3, (np.median(err), info["final_cost"])
+
+
+def test_sharded_stereo_rig_step_matches():
+    """Sharded BA equivalence with a 2-camera rig (uneven per-camera
+    tables; extrinsics + two intrinsics grids in the state)."""
+    state_gt, obs, segments = ba_harness.make_problem(
+        seed=7, n_points=40, n_poses=8, n_cameras=2
+    )
+    state0 = ba_harness.perturb_state(state_gt, seed=8)
+    data = tuple(pad_table(s, 8) for s in split_by_camera(obs, segments))
+    options = lm_pcg.BAOptions(max_pcg_iterations=25)
+    step = lm_pcg.make_lm_step(options)
+    warm = tuple(s.pixel for s in data)
+    lam = jnp.asarray(-1.0, jnp.float64)
+    out_single = step(state0, warm, lam, data)
+
+    mesh = sharding.make_mesh(jax.devices()[:8])
+    data_sh = sharding.shard_observations(data, mesh)
+    state_sh = sharding.replicate(state0, mesh)
+    warm_sh = tuple(s.pixel for s in data_sh)
+    lam_sh = sharding.replicate(lam, mesh)
+    out_sh = step(state_sh, warm_sh, lam_sh, data_sh)
+
+    assert abs(float(out_single[4]) - float(out_sh[4])) < 1e-9 * max(
+        1.0, abs(float(out_single[4]))
+    )
+    assert abs(float(out_single[5]) - float(out_sh[5])) < 1e-3 * max(
+        abs(float(out_single[5])), 1e-9
+    )
