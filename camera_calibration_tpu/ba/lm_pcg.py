@@ -9,8 +9,9 @@ cuda_joint_optimization.cu:391-765), redesigned for TPU:
   iteration (closed form, batched) and cached in HBM; the reference instead
   re-derives the Jacobian on the fly in every PCG kernel.
 - (JᵀWJ + λI)·v matvecs are gathers + small einsum contractions +
-  ``segment_sum`` scatter-adds — the XLA equivalents of the reference's
-  three atomic accumulation modes (cuda_joint_optimization.cu:418-451).
+  one-hot MXU segment reductions (ops/segsum.py) — the XLA equivalents of
+  the reference's three atomic accumulation modes
+  (cuda_joint_optimization.cu:418-451), conflict-free by construction.
 - Jacobi preconditioner M = diag(JᵀWJ) + λ (cuda_joint_optimization.cu:
   391-492 PCGInit); λ accept/reject ·{0.5, 2} on the host loop.
 - Invalid projections use the reference's *paired cost comparison*: an LM
@@ -153,8 +154,30 @@ def compute_blocks(data, state: BAState, warm_xy, options: BAOptions):
             b, w = jax.lax.map(
                 lambda args: eval_blocks(args[0], args[1]), (tbl_c, warm_c)
             )
-            b = jax.tree_util.tree_map(
-                lambda a: a.reshape((n_obs,) + a.shape[2:]), b
+
+            def merge_lead(a):
+                return a.reshape((n_obs,) + a.shape[2:])
+
+            bi = b.intr
+            if isinstance(bi, res.GridIntr):
+                # stacked (k, 2, 4, 4, K, chunk): obs axis is LAST
+                jw = jnp.moveaxis(bi.j_win, 0, -2)
+                jw = jw.reshape(jw.shape[:-2] + (n_obs,))
+                intr_m = res.GridIntr(
+                    j_win=jw, base_xy=merge_lead(bi.base_xy),
+                    k_tangent=bi.k_tangent,
+                )
+            else:
+                intr_m = res.DenseIntr(j_params=merge_lead(bi.j_params))
+            b = res.ObsBlocks(
+                r=merge_lead(b.r),
+                j_rig=merge_lead(b.j_rig),
+                j_cam=merge_lead(b.j_cam),
+                j_point=merge_lead(b.j_point),
+                intr=intr_m,
+                weight=merge_lead(b.weight),
+                valid=merge_lead(b.valid),
+                cost=merge_lead(b.cost),
             )
             w = w.reshape(n_obs, 2)
         else:
@@ -240,15 +263,19 @@ def jtwj_block_diag(data, blocks, state: BAState):
         )
         bi = b.intr
         if isinstance(bi, res.GridIntr):
-            k = bi.j_win.shape[-1]
+            zero = zero_tangent(state).intr[ci]
+            gh, gw = zero.shape[0], zero.shape[1]
+            oy, ox = res._window_onehots(
+                bi.base_xy, gh, gw, bi.j_win.dtype
+            )
             # One-hot window contractions instead of a 16n-row scatter-add:
             # TPU scatters serialize per row (measured ~300 ms at 262k obs);
             # the same reduction as two MXU einsums runs in a few ms.
             contrib = jnp.einsum(
-                "niyxj,niyxk,n->nyxjk", bi.j_win, bi.j_win, w
+                "iyxjn,iyxkn,n->nyxjk", bi.j_win, bi.j_win, w
             )
-            rows = jnp.einsum("nxw,nyxjk->nywjk", bi.ox, contrib)
-            knot = jnp.einsum("nyh,nywjk->hwjk", bi.oy, rows)
+            rows = jnp.einsum("nxw,nyxjk->nywjk", ox, contrib)
+            knot = jnp.einsum("nyh,nywjk->hwjk", oy, rows)
             intr.append(knot)
         else:
             intr.append(

@@ -39,26 +39,48 @@ from camera_calibration_tpu.models.base import replace
 from camera_calibration_tpu.ops import losses, manifolds, se3
 
 
-def _pytree(cls):
+def _pytree(cls, meta=()):
     cls = dataclasses.dataclass(frozen=True)(cls)
-    fields = [f.name for f in dataclasses.fields(cls)]
-    jax.tree_util.register_dataclass(cls, data_fields=fields, meta_fields=[])
+    fields = [
+        f.name for f in dataclasses.fields(cls) if f.name not in meta
+    ]
+    jax.tree_util.register_dataclass(
+        cls, data_fields=fields, meta_fields=list(meta)
+    )
     return cls
 
 
-@_pytree
+@(lambda c: _pytree(c, meta=("k_tangent",)))
 class GridIntr:
     """Sparse intrinsics block for spline-grid models.
 
-    oy/ox are dense 0/1 window-row/column indicators ((n,4,Hg)/(n,4,Wg));
-    with them the PCG gather/scatter of knot tangents becomes two MXU
-    einsum contractions instead of gather + segment_sum — markedly faster
-    on TPU since the indices are fixed for a whole LM iteration."""
+    ``j_win`` is stored OBSERVATION-AXIS-LAST, (2, 4, 4, K, n): with a
+    trailing dimension of K=2 the TPU tiled layout (…, 2, 128) would
+    lane-pad the cache 64× (measured: a 34 GB allocation for 2M
+    observations); with n last the tiles are dense.  The 0/1
+    window-row/column indicators that turn knot gather/scatter into MXU
+    contractions are built on the fly from ``base_xy`` at every use (a
+    cheap VPU compare), never stored."""
 
-    j_win: jnp.ndarray  # (n, 2, 4, 4, K) wrt window-knot tangents
-    win_flat: jnp.ndarray  # (n, 4, 4) int32 flat knot index gy*Wg+gx
-    oy: jnp.ndarray  # (n, 4, Hg) float 0/1
-    ox: jnp.ndarray  # (n, 4, Wg) float 0/1
+    j_win: jnp.ndarray  # (2, 4, 4, K, n) window-knot Jacobian
+    base_xy: jnp.ndarray  # (n, 2) int32 window base (bx, by)
+    k_tangent: int  # K (static): 2 central, 5 noncentral
+
+
+def _window_onehots(base_xy, gh, gw, dtype):
+    """0/1 window indicators oy (n,4,gh), ox (n,4,gw) from base indices."""
+    off = jnp.arange(4, dtype=base_xy.dtype)
+    by = base_xy[:, 1]
+    bx = base_xy[:, 0]
+    oy = (
+        jnp.arange(gh, dtype=base_xy.dtype)[None, None, :]
+        == (by[:, None] + off[None, :])[..., None]
+    ).astype(dtype)
+    ox = (
+        jnp.arange(gw, dtype=base_xy.dtype)[None, None, :]
+        == (bx[:, None] + off[None, :])[..., None]
+    ).astype(dtype)
+    return oy, ox
 
 
 @_pytree
@@ -122,20 +144,14 @@ def _grid_projection_blocks(model, x_cam, warm_xy, max_proj_iterations, frames):
     win_flat = gy * gw + gx  # (n, 4, 4)
     win_frames = fr.reshape(-1, 3, 2)[win_flat]  # (n,4,4,3,2)
     j_win = -jnp.einsum(
-        "nyx,nic,nyxcj->niyxj", sens["weights"], sens["pn"], win_frames
+        "nyx,nic,nyxcj->iyxjn", sens["weights"], sens["pn"], win_frames
     )
-    gh = model.grid.shape[0]
-    dtype = j_win.dtype
-    iota_h = jnp.arange(gh, dtype=by.dtype)
-    iota_w = jnp.arange(gw, dtype=bx.dtype)
-    oy = (
-        iota_h[None, None, :]
-        == (by[:, None] + jnp.arange(4, dtype=by.dtype))[..., None]
-    ).astype(dtype)
-    ox = (
-        iota_w[None, None, :] == (bx[:, None] + jnp.arange(4, dtype=bx.dtype))[..., None]
-    ).astype(dtype)
-    return px, pvalid, a, GridIntr(j_win=j_win, win_flat=win_flat, oy=oy, ox=ox)
+    intr = GridIntr(
+        j_win=j_win,
+        base_xy=jnp.stack([bx, by], axis=-1),
+        k_tangent=2,
+    )
+    return px, pvalid, a, intr
 
 
 def _parametric_projection_blocks(model, x_cam):
@@ -181,18 +197,13 @@ def segment_blocks(
         nblocks = ncg.projection_blocks(model, g, x_cam)
         a = nblocks["pix_wrt_x"]
         wf = nblocks["win_flat"]
-        gh, gw = model.direction_grid.shape[:2]
-        dtype_j = nblocks["j_win"].dtype
-        gx_idx = wf[:, 0, :] % gw  # (n,4) column indices
-        gy_idx = wf[:, :, 0] // gw  # (n,4) row indices
-        oy = (
-            jnp.arange(gh, dtype=wf.dtype)[None, None, :] == gy_idx[..., None]
-        ).astype(dtype_j)
-        ox = (
-            jnp.arange(gw, dtype=wf.dtype)[None, None, :] == gx_idx[..., None]
-        ).astype(dtype_j)
+        gw = model.direction_grid.shape[1]
         intr = GridIntr(
-            j_win=nblocks["j_win"], win_flat=wf, oy=oy, ox=ox
+            j_win=jnp.moveaxis(nblocks["j_win"], 0, -1),
+            base_xy=jnp.stack(
+                [wf[:, 0, 0] % gw, wf[:, 0, 0] // gw], axis=-1
+            ),
+            k_tangent=5,
         )
     elif protocol.is_grid_model(model):
         px, pvalid, a, intr = _grid_projection_blocks(
@@ -225,10 +236,10 @@ def segment_blocks(
     mask3 = valid[:, None, None]
     if isinstance(intr, GridIntr):
         intr = GridIntr(
-            j_win=jnp.where(valid[:, None, None, None, None], intr.j_win, 0.0),
-            win_flat=intr.win_flat,
-            oy=intr.oy,
-            ox=intr.ox,
+            j_win=jnp.where(valid[None, None, None, None, :],
+                            intr.j_win, 0.0),
+            base_xy=intr.base_xy,
+            k_tangent=intr.k_tangent,
         )
     else:
         intr = DenseIntr(j_params=jnp.where(mask3, intr.j_params, 0.0))
@@ -250,19 +261,23 @@ def segment_blocks(
 def intr_apply_j(intr, tangent_intr):
     """Intrinsics contribution to J·v: (n, 2)."""
     if isinstance(intr, GridIntr):
+        gh, gw, k = tangent_intr.shape
+        oy, ox = _window_onehots(intr.base_xy, gh, gw, intr.j_win.dtype)
         # dense gather: window tangents via one-hot contractions (MXU)
-        rows = jnp.einsum("nyh,hwj->nywj", intr.oy, tangent_intr)
-        win = jnp.einsum("nxw,nywj->nyxj", intr.ox, rows)
-        return jnp.einsum("niyxj,nyxj->ni", intr.j_win, win)
+        rows = jnp.einsum("nyh,hwj->nywj", oy, tangent_intr)
+        win = jnp.einsum("nxw,nywj->nyxj", ox, rows)
+        return jnp.einsum("iyxjn,nyxj->ni", intr.j_win, win)
     return jnp.einsum("nik,k->ni", intr.j_params, tangent_intr)
 
 
 def intr_apply_jtw(intr, ws, tangent_shape_like):
     """Intrinsics part of JᵀW·s, scattered into the tangent layout."""
     if isinstance(intr, GridIntr):
-        contrib = jnp.einsum("niyxj,ni->nyxj", intr.j_win, ws)
-        rows = jnp.einsum("nxw,nyxj->nywj", intr.ox, contrib)
-        return jnp.einsum("nyh,nywj->hwj", intr.oy, rows)
+        gh, gw, k = tangent_shape_like.shape
+        oy, ox = _window_onehots(intr.base_xy, gh, gw, intr.j_win.dtype)
+        contrib = jnp.einsum("iyxjn,ni->nyxj", intr.j_win, ws)
+        rows = jnp.einsum("nxw,nyxj->nywj", ox, contrib)
+        return jnp.einsum("nyh,nywj->hwj", oy, rows)
     return jnp.einsum("nik,ni->k", intr.j_params, ws)
 
 

@@ -421,18 +421,25 @@ def cmd_stereo_depth(args):
     t_rel = np.asarray(tr)
     opts = pms.PatchMatchOptions(
         min_depth=args.min_depth, max_depth=args.max_depth,
-        num_levels=args.num_levels,
+        num_levels=args.num_levels, iterations=args.iterations,
     )
     result_l = pms.compute_depth_map(
         jnp.asarray(img_l), jnp.asarray(img_r),
         state.intrinsics[0], state.intrinsics[1], (r_rel, t_rel), opts,
+        algorithm=args.algorithm,
     )
-    # LR consistency (second pass from the right camera)
+    # LR consistency: a cheaper second pass from the right camera
+    # (the reference runs 30 iterations for the consistency map and 50
+    # for the reference view, stereo_depth_estimation.cc:180-186)
+    import dataclasses as _dc
+
+    opts_r = _dc.replace(opts, iterations=max(2, args.iterations // 2))
     r_inv = r_rel.T
     t_inv = -r_rel.T @ t_rel
     result_r = pms.compute_depth_map(
         jnp.asarray(img_r), jnp.asarray(img_l),
-        state.intrinsics[1], state.intrinsics[0], (r_inv, t_inv), opts,
+        state.intrinsics[1], state.intrinsics[0], (r_inv, t_inv), opts_r,
+        algorithm=args.algorithm,
     )
     mask = pms.lr_consistency_mask(
         result_l, result_r, state.intrinsics[0], state.intrinsics[1],
@@ -440,7 +447,15 @@ def cmd_stereo_depth(args):
     )
     import numpy as _np
 
+    # post-filter chain: bilateral smoothing + speckle removal
+    inv_f = pms.bilateral_filter(result_l["inv_depth"], jnp.asarray(img_l))
+    result_l = dict(result_l)
+    result_l["inv_depth"] = inv_f
+    result_l["depth"] = 1.0 / jnp.maximum(inv_f, 1e-9)
     mask = _np.asarray(mask) & _np.isfinite(_np.asarray(result_l["cost"]))
+    mask = pms.connected_component_filter(
+        mask, result_l["inv_depth"], min_size=args.min_component_size
+    )
     pms.export_point_cloud(args.output, result_l, mask=mask, colors=img_l)
     print(
         f"wrote {args.output}: {int(mask.sum())} points "
@@ -1143,6 +1158,10 @@ def main(argv=None):
     p.add_argument("--min_depth", type=float, default=0.2)
     p.add_argument("--max_depth", type=float, default=20.0)
     p.add_argument("--num_levels", type=int, default=96)
+    p.add_argument("--iterations", type=int, default=8)
+    p.add_argument("--algorithm", default="patch_match",
+                   choices=["patch_match", "plane_sweep"])
+    p.add_argument("--min_component_size", type=int, default=50)
     p.set_defaults(func=cmd_stereo_depth)
 
     p = sub.add_parser("compare", help="compare two calibrations")

@@ -82,3 +82,34 @@ def unproject(model, pixels, max_iterations=20):
     if is_grid_model(model):
         return cg.unproject(model, pixels)
     return pm.unproject(model, pixels, max_iterations=max_iterations)
+
+
+def projection_point_jacobian(model, x_cam, aux):
+    """d pixel / d camera-space point at a converged projection, (N, 2, 3).
+
+    aux: the second output of project_points (grid coords for grid models,
+    ignored for parametric).  Used by the stereo slanted-window warps.
+    """
+    import jax
+
+    if isinstance(model, ncg.NoncentralGenericModel):
+        raise NotImplementedError(
+            "stereo projection jacobian: fit a central model "
+            "(the reference's stereo also only compiles the central path, "
+            "pixel_corner_projector.cuh:279-481)"
+        )
+    if is_grid_model(model):
+        sens = cg.projection_sensitivities(model, aux)
+        p = sens["pix_wrt_dir"]
+        norm = jnp.linalg.norm(x_cam, axis=-1, keepdims=True)
+        d = x_cam / jnp.maximum(norm, 1e-18)
+        pd = jnp.einsum("nij,nj->ni", p, d)
+        return (p - pd[..., None] * d[:, None, :]) / jnp.maximum(
+            norm[..., None], 1e-18
+        )
+
+    def f(x):
+        px, _, _ = pm.project_points(model, x[None])
+        return px[0]
+
+    return jax.vmap(jax.jacfwd(f))(x_cam)

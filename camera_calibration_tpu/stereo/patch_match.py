@@ -2,21 +2,30 @@
 
 Capability parity with the reference's GPU PatchMatch MVS (reference:
 libvis/src/libvis/cuda/patch_match_stereo.{h,cu} — init / propagation /
-mutation / refinement kernels, ZNCC/SSD metrics, LR consistency,
-post-filters; consumed by tools/stereo_depth_estimation.cc:47-260).
+mutation / refinement kernels, slanted per-pixel plane state, ZNCC/SSD
+metrics, LR consistency, bilateral + connected-component post-filters;
+consumed by tools/stereo_depth_estimation.cc:47-260).
 
-TPU-native redesign: instead of per-pixel patch loops, every PatchMatch
-candidate (neighbor propagation via array shifts, random mutation,
-refinement) is evaluated as a *whole-image* operation — warp the other
-view by the candidate inverse-depth field through the calibrated generic
-models, then score with ZNCC/SSD computed by separable box filters
-(mean/var/cov images).  One candidate = one warp + a handful of
-convolutions; everything is jit-compiled elementwise/conv work with no
-gathers besides the warp sample.
+TPU-native redesign — two stages:
 
-State is per-pixel inverse depth (fronto-parallel windows; the
-reference's slanted windows are an accuracy refinement left for a later
-round).  LR consistency and a median post-filter are provided.
+1. *Plane-sweep init* (`plane_sweep`): L constant-inverse-depth
+   hypotheses, each scored as one whole-image warp + box-filtered
+   ZNCC/SSD; winner-take-all + parabola refinement.
+2. *True PatchMatch* (`patch_match`): per-pixel SLANTED plane state
+   (unit normal n, plane offset c with n·X = c).  Every candidate field
+   — neighbor propagation via array shifts at strides 1/2/4 and random
+   plane mutations with shrinking scale — is evaluated for ALL pixels at
+   once: one exact generic-model warp of the plane/ray intersections plus
+   a per-pixel plane-induced AFFINE window map A(p) built from the
+   projection's analytic point Jacobian, so the K window samples are K
+   bilinear reads at W(p) + A(p)·o against rolled reference shifts.  That
+   is the whole-image analog of the reference's per-thread slanted-window
+   cost (patch_match_stereo.h:64-75), with acceptance masks in place of
+   per-pixel control flow.
+
+Post-processing: LR consistency, edge-preserving bilateral filter on
+inverse depth, and a connected-component speckle filter — the filter
+chain of the reference's 7 CUDA kernels.
 """
 
 from __future__ import annotations
@@ -33,15 +42,19 @@ from camera_calibration_tpu.ops import interp
 
 @dataclasses.dataclass(frozen=True)
 class PatchMatchOptions:
-    iterations: int = 30  # legacy alias; num_levels drives the sweep
-    num_levels: int = 64
+    iterations: int = 8  # PatchMatch propagation/mutation rounds
+    num_levels: int = 64  # plane-sweep init hypotheses
     refinement_iterations: int = 6
     patch_radius: int = 3
     metric: str = "zncc"  # zncc | ssd
     min_depth: float = 0.2
     max_depth: float = 20.0
-    mutation_count: int = 2
+    mutation_count: int = 2  # random plane mutations per round
     consistency_threshold_px: float = 1.5
+    # slanted-window sample offsets: every `window_stride`-th integer
+    # offset inside the (2·patch_radius+1)² window
+    window_stride: int = 1
+    max_tilt_cos: float = 0.25  # |n·dir| floor (≤ ~75° plane tilt)
     seed: int = 0
 
 
@@ -190,15 +203,233 @@ def _plane_sweep_jit(ref_img, other_img, dirs_ref, r_rel, t_rel,
 
 
 
+
+
+# --------------------------- slanted PatchMatch ---------------------------
+
+
+def _ray_field_derivative(dirs_ref):
+    """d dir / d pixel via central differences: (H, W, 3, 2)."""
+    dx = 0.5 * (jnp.roll(dirs_ref, -1, 1) - jnp.roll(dirs_ref, 1, 1))
+    dy = 0.5 * (jnp.roll(dirs_ref, -1, 0) - jnp.roll(dirs_ref, 1, 0))
+    # one-sided at the borders
+    dx = dx.at[:, 0].set(dirs_ref[:, 1] - dirs_ref[:, 0])
+    dx = dx.at[:, -1].set(dirs_ref[:, -1] - dirs_ref[:, -2])
+    dy = dy.at[0, :].set(dirs_ref[1] - dirs_ref[0])
+    dy = dy.at[-1, :].set(dirs_ref[-1] - dirs_ref[-2])
+    return jnp.stack([dx, dy], axis=-1)
+
+
+def _window_offsets(opts):
+    r = opts.patch_radius
+    st = max(1, opts.window_stride)
+    vals = list(range(-r, r + 1, st))
+    if vals[-1] != r:
+        vals.append(r)
+    return [(du, dv) for dv in vals for du in vals]
+
+
+def _slanted_cost(ref_img, other_img, dirs_ref, ddirs, n_f, c_f,
+                  r_rel, t_rel, model_other, warm, opts):
+    """Slanted-window cost of a plane field (whole image).
+
+    n_f (H,W,3) unit plane normals, c_f (H,W) plane offsets (n·X = c).
+    Returns (cost (H,W), valid (H,W), warm pixels (H*W,2)).
+    """
+    h, w = ref_img.shape
+    dtype = ref_img.dtype
+    nd = jnp.einsum("hwj,hwj->hw", n_f, dirs_ref)
+    nd_safe = jnp.sign(nd) * jnp.maximum(jnp.abs(nd), 1e-9)
+    z = c_f / nd_safe
+    zc = jnp.clip(z, opts.min_depth, opts.max_depth)
+    plane_ok = (
+        (jnp.abs(nd) > opts.max_tilt_cos)
+        & (z > opts.min_depth) & (z < opts.max_depth)
+    )
+    x_ref = dirs_ref * zc[..., None]
+    x_o = x_ref @ r_rel.T + t_rel
+
+    px, aux, pvalid = protocol.project_points(
+        model_other, x_o.reshape(-1, 3), init_xy=warm, max_iterations=6
+    )
+    warm_next = jnp.where(pvalid[:, None], px, warm)
+    # plane-induced local affine: dpx/dp = P(x_o)·R·dX/dp with
+    # dX/dp = z·ddir + dir ⊗ dz/dp, dz/dp = −z (n·ddir)/(n·dir)
+    p_jac = protocol.projection_point_jacobian(
+        model_other, x_o.reshape(-1, 3), aux
+    ).reshape(h, w, 2, 3)
+    n_ddir = jnp.einsum("hwj,hwjk->hwk", n_f, ddirs)  # (H,W,2)
+    dz = -(zc / nd_safe)[..., None] * n_ddir  # (H,W,2)
+    dX = zc[..., None, None] * ddirs + jnp.einsum(
+        "hwj,hwk->hwjk", dirs_ref, dz
+    )
+    a_f = jnp.einsum("hwij,jl,hwlk->hwik", p_jac, r_rel, dX)  # (H,W,2,2)
+
+    pximg = px.reshape(h, w, 2)
+    base_valid = (
+        pvalid.reshape(h, w)
+        & plane_ok
+        & interp.in_bounds(other_img.shape, pximg - 0.5, margin=1.0)
+    )
+
+    offsets = _window_offsets(opts)
+    s_v = jnp.zeros((h, w), dtype)
+    s_r = jnp.zeros((h, w), dtype)
+    s_vv = jnp.zeros((h, w), dtype)
+    s_rr = jnp.zeros((h, w), dtype)
+    s_rv = jnp.zeros((h, w), dtype)
+    s_n = jnp.zeros((h, w), dtype)
+    for (du, dv) in offsets:
+        o = jnp.asarray([du, dv], dtype)
+        pos = pximg + jnp.einsum("hwik,k->hwi", a_f, o)
+        val = interp.bilinear(other_img, pos - 0.5)
+        ok = interp.in_bounds(other_img.shape, pos - 0.5, margin=1.0)
+        refv = jnp.roll(ref_img, (-dv, -du), (0, 1))
+        # reference window sample validity (no wrap-around)
+        ok = ok & _shift_valid(h, w, du, dv)
+        wgt = ok.astype(dtype)
+        s_v = s_v + wgt * val
+        s_r = s_r + wgt * refv
+        s_vv = s_vv + wgt * val * val
+        s_rr = s_rr + wgt * refv * refv
+        s_rv = s_rv + wgt * refv * val
+        s_n = s_n + wgt
+    n_eff = jnp.maximum(s_n, 1e-9)
+    m_v = s_v / n_eff
+    m_r = s_r / n_eff
+    var_v = s_vv / n_eff - m_v * m_v
+    var_r = s_rr / n_eff - m_r * m_r
+    cov = s_rv / n_eff - m_r * m_v
+    if opts.metric == "ssd":
+        cost = (s_rr - 2 * s_rv + s_vv) / n_eff
+    else:
+        zncc = cov / jnp.sqrt(jnp.maximum(var_r * var_v, 1e-10))
+        cost = 1.0 - zncc
+    enough = s_n >= 0.5 * len(offsets)
+    valid = base_valid & enough
+    return jnp.where(valid, cost, jnp.asarray(jnp.inf, dtype)), valid, warm_next
+
+
+def _shift_valid(h, w, du, dv):
+    """Mask of pixels whose (du, dv)-shifted neighbor is in-image."""
+    xs = jnp.arange(w)
+    ys = jnp.arange(h)
+    okx = (xs + du >= 0) & (xs + du < w)
+    oky = (ys + dv >= 0) & (ys + dv < h)
+    return oky[:, None] & okx[None, :]
+
+
+def _roll_field(n_f, c_f, du, dv):
+    """Neighbor plane candidates: shift the plane field by (du, dv)."""
+    return (
+        jnp.roll(n_f, (dv, du), (0, 1)),
+        jnp.roll(c_f, (dv, du), (0, 1)),
+    )
+
+
+@partial(jax.jit, static_argnames=("opts",))
+def _patch_match_jit(ref_img, other_img, dirs_ref, r_rel, t_rel,
+                     model_other, inv_depth0, opts):
+    """Slanted-plane PatchMatch from a plane-sweep init."""
+    h, w = ref_img.shape
+    dtype = ref_img.dtype
+    ddirs = _ray_field_derivative(dirs_ref)
+
+    # init: fronto-parallel planes from the sweep depth
+    n_f = -dirs_ref
+    z0 = 1.0 / jnp.maximum(inv_depth0, 1e-9)
+    c_f = jnp.einsum(
+        "hwj,hwj->hw", n_f, dirs_ref * z0[..., None]
+    )
+
+    warm0 = jnp.zeros((h * w, 2), dtype) + jnp.asarray(
+        [w * 0.5, h * 0.5], dtype
+    )
+
+    def evaluate(n_c, c_c, warm):
+        return _slanted_cost(
+            ref_img, other_img, dirs_ref, ddirs, n_c, c_c,
+            r_rel, t_rel, model_other, warm, opts,
+        )
+
+    cost, valid, warm = evaluate(n_f, c_f, warm0)
+    key = jax.random.PRNGKey(opts.seed)
+
+    def accept(state, cand):
+        n_f, c_f, cost = state
+        n_c, c_c, cost_c = cand
+        better = cost_c < cost
+        return (
+            jnp.where(better[..., None], n_c, n_f),
+            jnp.where(better, c_c, c_f),
+            jnp.where(better, cost_c, cost),
+        )
+
+    shifts = [(1, 0), (-1, 0), (0, 1), (0, -1),
+              (2, 0), (-2, 0), (0, 2), (0, -2)]
+
+    def one_round(carry, rk):
+        n_f, c_f, cost, warm = carry
+        # propagation: neighbor planes at strides 1 and 2
+        for (du, dv) in shifts:
+            n_c, c_c = _roll_field(n_f, c_f, du, dv)
+            cost_c, _, warm = evaluate(n_c, c_c, warm)
+            n_f, c_f, cost = accept((n_f, c_f, cost), (n_c, c_c, cost_c))
+        # random mutations with shrinking scale
+        keys = jax.random.split(rk, 2 * opts.mutation_count + 1)
+        for mi in range(opts.mutation_count):
+            frac = 0.5 ** (mi + 1)
+            kd, kn = keys[1 + 2 * mi], keys[2 + 2 * mi]
+            # depth mutation: multiplicative jitter of the ray depth
+            nd = jnp.einsum("hwj,hwj->hw", n_f, dirs_ref)
+            z = c_f / (jnp.sign(nd) * jnp.maximum(jnp.abs(nd), 1e-9))
+            jitter = 1.0 + frac * 0.5 * jax.random.uniform(
+                kd, (h, w), dtype, -1.0, 1.0
+            )
+            z_c = jnp.clip(z * jitter, opts.min_depth, opts.max_depth)
+            c_c = c_f / jnp.maximum(jnp.abs(z), 1e-9) * z_c * jnp.sign(z)
+            cost_c, _, warm = evaluate(n_f, c_c, warm)
+            n_f, c_f, cost = accept((n_f, c_f, cost), (n_f, c_c, cost_c))
+            # normal mutation: random tilt, re-anchored at the same point
+            tilt = frac * jax.random.normal(kn, (h, w, 3), dtype)
+            n_c = n_f + tilt
+            n_c = n_c / jnp.maximum(
+                jnp.linalg.norm(n_c, axis=-1, keepdims=True), 1e-9
+            )
+            # keep normals facing the camera
+            facing = jnp.einsum("hwj,hwj->hw", n_c, dirs_ref) < 0
+            n_c = jnp.where(facing[..., None], n_c, -n_c)
+            nd_f = jnp.einsum("hwj,hwj->hw", n_f, dirs_ref)
+            z_f = c_f / (jnp.sign(nd_f) * jnp.maximum(jnp.abs(nd_f), 1e-9))
+            x_anchor = dirs_ref * z_f[..., None]
+            c_c = jnp.einsum("hwj,hwj->hw", n_c, x_anchor)
+            cost_c, _, warm = evaluate(n_c, c_c, warm)
+            n_f, c_f, cost = accept((n_f, c_f, cost), (n_c, c_c, cost_c))
+        return (n_f, c_f, cost, warm), None
+
+    keys = jax.random.split(key, opts.iterations)
+    (n_f, c_f, cost, warm), _ = jax.lax.scan(
+        one_round, (n_f, c_f, cost, warm), keys
+    )
+
+    nd = jnp.einsum("hwj,hwj->hw", n_f, dirs_ref)
+    z = c_f / (jnp.sign(nd) * jnp.maximum(jnp.abs(nd), 1e-9))
+    z = jnp.clip(z, opts.min_depth, opts.max_depth)
+    inv_depth = 1.0 / z
+    return inv_depth, cost, n_f
+
+
 def compute_depth_map(ref_img, other_img, model_ref, model_other,
-                      other_tr_ref, opts: PatchMatchOptions = PatchMatchOptions()):
+                      other_tr_ref,
+                      opts: PatchMatchOptions = PatchMatchOptions(),
+                      algorithm: str = "patch_match"):
     """Inverse-depth map of ref_img (reference-camera frame).
 
     other_tr_ref: (R, t) with x_other = R x_ref + t.
-    Returns dict with inv_depth, depth, cost.
+    algorithm: "patch_match" (plane-sweep init + slanted PatchMatch, the
+    reference algorithm) or "plane_sweep" (fronto-parallel init only).
+    Returns dict with inv_depth, depth, cost (+ normals for patch_match).
     """
-    import numpy as np
-
     ref_img = jnp.asarray(ref_img)
     other_img = jnp.asarray(other_img)
     h, w = ref_img.shape
@@ -215,12 +446,24 @@ def compute_depth_map(ref_img, other_img, model_ref, model_other,
     inv_depth, cost = _plane_sweep_jit(
         ref_img, other_img, dirs_ref, r_rel, t_rel, model_other, opts
     )
-    return {
+    out = {
         "inv_depth": inv_depth,
         "depth": 1.0 / jnp.maximum(inv_depth, 1e-9),
         "cost": cost,
         "dirs": dirs_ref,
     }
+    if algorithm == "patch_match":
+        inv_depth, cost, normals = _patch_match_jit(
+            ref_img, other_img, dirs_ref, r_rel, t_rel, model_other,
+            inv_depth, opts,
+        )
+        out.update(
+            inv_depth=inv_depth,
+            depth=1.0 / jnp.maximum(inv_depth, 1e-9),
+            cost=cost,
+            normals=normals,
+        )
+    return out
 
 
 def lr_consistency_mask(result_l, result_r, model_l, model_r, r_tr_l,
@@ -252,11 +495,73 @@ def lr_consistency_mask(result_l, result_r, model_l, model_r, r_tr_l,
 
 
 def median_filter(depth, size=3):
-    """3x3 median post-filter (reference: bilateral/median post-filter)."""
+    """3x3 median post-filter."""
     import numpy as np
     from scipy.ndimage import median_filter as mf
 
     return jnp.asarray(mf(np.asarray(depth), size=size))
+
+
+def bilateral_filter(inv_depth, guide, radius=3, sigma_space=2.0,
+                     sigma_range=0.08, sigma_value=0.05):
+    """Edge-preserving bilateral filter on inverse depth, guided by the
+    reference image (reference: patch_match_stereo bilateral post-filter).
+
+    Pure shift-based (no gathers): weights combine spatial distance,
+    guide-intensity difference, and inverse-depth difference.
+    """
+    inv_depth = jnp.asarray(inv_depth)
+    guide = jnp.asarray(guide)
+    acc = jnp.zeros_like(inv_depth)
+    wacc = jnp.zeros_like(inv_depth)
+    for dv in range(-radius, radius + 1):
+        for du in range(-radius, radius + 1):
+            d_s = jnp.roll(inv_depth, (dv, du), (0, 1))
+            g_s = jnp.roll(guide, (dv, du), (0, 1))
+            w_ = jnp.exp(
+                -(du * du + dv * dv) / (2 * sigma_space ** 2)
+                - (guide - g_s) ** 2 / (2 * sigma_range ** 2)
+                - (inv_depth - d_s) ** 2 / (2 * sigma_value ** 2)
+            )
+            acc = acc + w_ * d_s
+            wacc = wacc + w_
+    return acc / jnp.maximum(wacc, 1e-12)
+
+
+def connected_component_filter(mask, inv_depth, min_size=50,
+                               depth_tol=0.02):
+    """Remove small speckle components (reference: the CUDA
+    connected-component outlier filter).
+
+    Components are connected where neighboring valid pixels have similar
+    inverse depth (relative tolerance); components smaller than
+    ``min_size`` pixels are invalidated.  Host-side scipy labeling.
+    """
+    import numpy as np
+    from scipy import ndimage
+
+    mask = np.asarray(mask, bool)
+    inv_d = np.asarray(inv_depth)
+    # break connectivity across depth discontinuities: quantize
+    step = depth_tol * max(float(np.nanmedian(inv_d[mask])) if mask.any()
+                           else 1.0, 1e-6)
+    q = np.round(inv_d / max(step, 1e-9)).astype(np.int64)
+    lbl, n = ndimage.label(mask)
+    out = mask.copy()
+    if n == 0:
+        return out
+    # split labels further by quantized depth: combine label and coarse
+    # depth bucket, then re-label
+    combo = (lbl.astype(np.int64) << 20) + np.clip(q // 4, 0, (1 << 19))
+    combo[~mask] = 0
+    _, combo_ids = np.unique(combo, return_inverse=True)
+    combo_ids = combo_ids.reshape(mask.shape)
+    lbl2, n2 = ndimage.label(combo_ids * mask)
+    sizes = ndimage.sum_labels(mask, lbl2, index=np.arange(1, n2 + 1))
+    small = np.zeros(n2 + 1, bool)
+    small[1:] = sizes < min_size
+    out[small[lbl2]] = False
+    return out
 
 
 def export_point_cloud(path, result, mask=None, colors=None):
