@@ -160,9 +160,10 @@ def compute_blocks(data, state: BAState, warm_xy, options: BAOptions):
 
             bi = b.intr
             if isinstance(bi, res.GridIntr):
-                # stacked (k, 2, 4, 4, K, chunk): obs axis is LAST
-                jw = jnp.moveaxis(bi.j_win, 0, -2)
-                jw = jw.reshape(jw.shape[:-2] + (n_obs,))
+                # stacked (k_chunks, F, chunk): move chunks next to the
+                # obs axis, merge — stays 2-D/3-D throughout
+                jw = jnp.moveaxis(bi.j_win, 0, 1)  # (F, k_chunks, chunk)
+                jw = jw.reshape(jw.shape[0], n_obs)
                 intr_m = res.GridIntr(
                     j_win=jw, base_xy=merge_lead(bi.base_xy),
                     k_tangent=bi.k_tangent,
@@ -265,6 +266,9 @@ def jtwj_block_diag(data, blocks, state: BAState):
         if isinstance(bi, res.GridIntr):
             zero = zero_tangent(state).intr[ci]
             gh, gw = zero.shape[0], zero.shape[1]
+            kk = bi.k_tangent
+            n_o = bi.j_win.shape[-1]
+            jw = bi.j_win.reshape(2, 4, 4, kk, n_o)
             oy, ox = res._window_onehots(
                 bi.base_xy, gh, gw, bi.j_win.dtype
             )
@@ -272,7 +276,7 @@ def jtwj_block_diag(data, blocks, state: BAState):
             # TPU scatters serialize per row (measured ~300 ms at 262k obs);
             # the same reduction as two MXU einsums runs in a few ms.
             contrib = jnp.einsum(
-                "iyxjn,iyxkn,n->nyxjk", bi.j_win, bi.j_win, w
+                "iyxjn,iyxkn,n->nyxjk", jw, jw, w
             )
             rows = jnp.einsum("nxw,nyxjk->nywjk", ox, contrib)
             knot = jnp.einsum("nyh,nywjk->hwjk", oy, rows)

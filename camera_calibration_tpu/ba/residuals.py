@@ -54,15 +54,17 @@ def _pytree(cls, meta=()):
 class GridIntr:
     """Sparse intrinsics block for spline-grid models.
 
-    ``j_win`` is stored OBSERVATION-AXIS-LAST, (2, 4, 4, K, n): with a
-    trailing dimension of K=2 the TPU tiled layout (…, 2, 128) would
-    lane-pad the cache 64× (measured: a 34 GB allocation for 2M
-    observations); with n last the tiles are dense.  The 0/1
+    ``j_win`` is stored strictly 2-D, (2·4·4·K, n) with row-major
+    [i, y, x, j] rows: any higher-rank form with a small trailing
+    dimension invites a lane-padded TPU tiled layout for materialized
+    copies (measured: a 34 GB allocation for the logical (n,2,4,4,2)
+    cache at 2M observations) — 2-D buffers with one large dimension
+    always tile densely.  Consumers reshape in-fusion.  The 0/1
     window-row/column indicators that turn knot gather/scatter into MXU
     contractions are built on the fly from ``base_xy`` at every use (a
     cheap VPU compare), never stored."""
 
-    j_win: jnp.ndarray  # (2, 4, 4, K, n) window-knot Jacobian
+    j_win: jnp.ndarray  # (2*4*4*K, n) window-knot Jacobian, rows [i,y,x,j]
     base_xy: jnp.ndarray  # (n, 2) int32 window base (bx, by)
     k_tangent: int  # K (static): 2 central, 5 noncentral
 
@@ -146,8 +148,9 @@ def _grid_projection_blocks(model, x_cam, warm_xy, max_proj_iterations, frames):
     j_win = -jnp.einsum(
         "nyx,nic,nyxcj->iyxjn", sens["weights"], sens["pn"], win_frames
     )
+    n = x_cam.shape[0]
     intr = GridIntr(
-        j_win=j_win,
+        j_win=j_win.reshape(-1, n),
         base_xy=jnp.stack([bx, by], axis=-1),
         k_tangent=2,
     )
@@ -198,8 +201,9 @@ def segment_blocks(
         a = nblocks["pix_wrt_x"]
         wf = nblocks["win_flat"]
         gw = model.direction_grid.shape[1]
+        n = wf.shape[0]
         intr = GridIntr(
-            j_win=jnp.moveaxis(nblocks["j_win"], 0, -1),
+            j_win=jnp.moveaxis(nblocks["j_win"], 0, -1).reshape(-1, n),
             base_xy=jnp.stack(
                 [wf[:, 0, 0] % gw, wf[:, 0, 0] // gw], axis=-1
             ),
@@ -236,8 +240,7 @@ def segment_blocks(
     mask3 = valid[:, None, None]
     if isinstance(intr, GridIntr):
         intr = GridIntr(
-            j_win=jnp.where(valid[None, None, None, None, :],
-                            intr.j_win, 0.0),
+            j_win=jnp.where(valid[None, :], intr.j_win, 0.0),
             base_xy=intr.base_xy,
             k_tangent=intr.k_tangent,
         )
@@ -262,11 +265,13 @@ def intr_apply_j(intr, tangent_intr):
     """Intrinsics contribution to J·v: (n, 2)."""
     if isinstance(intr, GridIntr):
         gh, gw, k = tangent_intr.shape
+        n = intr.j_win.shape[-1]
+        jw = intr.j_win.reshape(2, 4, 4, k, n)
         oy, ox = _window_onehots(intr.base_xy, gh, gw, intr.j_win.dtype)
         # dense gather: window tangents via one-hot contractions (MXU)
         rows = jnp.einsum("nyh,hwj->nywj", oy, tangent_intr)
         win = jnp.einsum("nxw,nywj->nyxj", ox, rows)
-        return jnp.einsum("iyxjn,nyxj->ni", intr.j_win, win)
+        return jnp.einsum("iyxjn,nyxj->ni", jw, win)
     return jnp.einsum("nik,k->ni", intr.j_params, tangent_intr)
 
 
@@ -274,8 +279,10 @@ def intr_apply_jtw(intr, ws, tangent_shape_like):
     """Intrinsics part of JᵀW·s, scattered into the tangent layout."""
     if isinstance(intr, GridIntr):
         gh, gw, k = tangent_shape_like.shape
+        n = intr.j_win.shape[-1]
+        jw = intr.j_win.reshape(2, 4, 4, k, n)
         oy, ox = _window_onehots(intr.base_xy, gh, gw, intr.j_win.dtype)
-        contrib = jnp.einsum("iyxjn,ni->nyxj", intr.j_win, ws)
+        contrib = jnp.einsum("iyxjn,ni->nyxj", jw, ws)
         rows = jnp.einsum("nxw,nyxj->nywj", ox, contrib)
         return jnp.einsum("nyh,nywj->hwj", oy, rows)
     return jnp.einsum("nik,ni->k", intr.j_params, ws)
