@@ -84,6 +84,9 @@ class BAOptions:
     # per-dispatch latency of the remote TPU runtime.  1 = step-per-call
     # (checkpoint/callback granularity of one iteration).
     lm_steps_per_call: int = 1
+    # Run verify_cost() once before optimizing (the reference's
+    # debug_verify_cost harness toggle, test/util.h:464).
+    debug_verify: bool = False
     # Memory-bounded block computation: when set, residual/Jacobian blocks
     # are evaluated in lax.map chunks of this many observations so the
     # projection/IFT transients never exceed the chunk footprint — the
@@ -267,19 +270,31 @@ def jtwj_block_diag(data, blocks, state: BAState):
             zero = zero_tangent(state).intr[ci]
             gh, gw = zero.shape[0], zero.shape[1]
             kk = bi.k_tangent
-            n_o = bi.j_win.shape[-1]
-            jw = bi.j_win.reshape(2, 4, 4, kk, n_o)
             oy, ox = res._window_onehots(
                 bi.base_xy, gh, gw, bi.j_win.dtype
             )
             # One-hot window contractions instead of a 16n-row scatter-add:
-            # TPU scatters serialize per row (measured ~300 ms at 262k obs);
-            # the same reduction as two MXU einsums runs in a few ms.
-            contrib = jnp.einsum(
-                "iyxjn,iyxkn,n->nyxjk", jw, jw, w
-            )
-            rows = jnp.einsum("nxw,nyxjk->nywjk", ox, contrib)
-            knot = jnp.einsum("nyh,nywjk->hwjk", oy, rows)
+            # TPU scatters serialize per row (measured ~300 ms at 262k
+            # obs); here as unrolled (gh,n)@(n,gw) matmuls so every
+            # materialized operand stays 2-D (GridIntr layout note).
+            knot = jnp.zeros((gh, gw, kk, kk), bi.j_win.dtype)
+            for y in range(4):
+                for x in range(4):
+                    oyx = oy[y] * w[:, None]  # weight folded once
+                    for j in range(kk):
+                        fj = (y * 4 + x) * kk + j
+                        jx_j = bi.j_win[fj]
+                        jy_j = bi.j_win[16 * kk + fj]
+                        for l in range(j, kk):
+                            fl = (y * 4 + x) * kk + l
+                            prod = (
+                                jx_j * bi.j_win[fl]
+                                + jy_j * bi.j_win[16 * kk + fl]
+                            )
+                            block = (oyx * prod[:, None]).T @ ox[x]
+                            knot = knot.at[:, :, j, l].add(block)
+                            if l != j:
+                                knot = knot.at[:, :, l, j].add(block)
             intr.append(knot)
         else:
             intr.append(
@@ -712,6 +727,8 @@ def optimize(
 
     if data is None:
         data = split_by_camera(obs, segments)
+    if options.debug_verify:
+        verify_cost(state, data, options)
     k = max(1, int(options.lm_steps_per_call))
     if k > 1:
         scan_step = make_lm_scan(options, k)
@@ -772,3 +789,97 @@ def optimize(
                     stop = True
                     break
     return state, {"history": history, "final_cost": final_cost}
+
+
+def verify_cost(state, data, options: BAOptions, seed: int = 0):
+    """Runtime numeric self-checks (the reference's VerifyCost /
+    VerifyAnalyticalJacobian debug hooks, lm_optimizer.h:415-627).
+
+    1. Determinism: the jitted cost evaluated twice must agree bitwise.
+    2. Consistency: the cost assembled from the Jacobian-block pass must
+       match the cost-only pass.
+    3. Analytic-vs-finite-difference gradient along a random tangent
+       direction (directional derivative of the UNWEIGHTED 0.5·Σ w r²
+       Gauss-Newton model at the current weights).
+
+    Returns a dict of measured discrepancies; raises AssertionError on
+    gross failures.
+    """
+    import numpy as np_
+
+    warm = tuple(seg.pixel for seg in data)
+
+    cost_fn = jax.jit(
+        lambda s, w: sum(
+            jnp.sum(c) for c in total_cost(data, s, w, options)[0]
+        )
+    )
+    c1 = float(cost_fn(state, warm))
+    c2 = float(cost_fn(state, warm))
+    assert c1 == c2, f"nondeterministic cost: {c1} vs {c2}"
+
+    blocks_fn = jax.jit(
+        lambda s, w: compute_blocks(data, s, w, options)
+    )
+    blocks, _ = blocks_fn(state, warm)
+    c_blocks = float(sum(jnp.sum(b.cost) for b in blocks))
+    rel_cost = abs(c_blocks - c1) / max(abs(c1), 1e-30)
+    assert rel_cost < 1e-4, (
+        f"block-pass cost {c_blocks} vs cost-pass {c1} (rel {rel_cost})"
+    )
+
+    # directional derivative check: d/dt [0.5 Σ w·r(t)²] at t=0 equals
+    # Σ w·r·(J v) = <grad, v> with the IRLS weights frozen
+    rng = np_.random.default_rng(seed)
+    v = jax.tree_util.tree_map(
+        lambda x: jnp.asarray(
+            rng.normal(0, 1, x.shape), x.dtype
+        ),
+        zero_tangent(state),
+    )
+    mask = fix_gauge_mask(state, options.freeze)
+    v = _masked(v, mask)
+    scale = jnp.sqrt(_tree_dot(v, v))
+    v = jax.tree_util.tree_map(lambda x: x / scale, v)
+    grad = apply_jtw(data, blocks, [b.r for b in blocks], state)
+    grad = _masked(grad, mask)
+    analytic = float(_tree_dot(grad, v))
+
+    def weighted_cost(s, w):
+        costs = []
+        for ci, seg in enumerate(data):
+            # 0.5 Σ w_frozen · r² with the blocks' weights
+            x = s.points[seg.point]
+            from camera_calibration_tpu.ba.state import transform_to_camera
+            from camera_calibration_tpu.models import protocol
+
+            x_cam, _ = transform_to_camera(s, seg.imageset, seg.camera, x)
+            px, _, pvalid = protocol.project_points(
+                s.intrinsics[ci], x_cam, init_xy=w[ci],
+                max_iterations=options.proj_iterations,
+            )
+            r = px - seg.pixel
+            sq = jnp.sum(r * r, axis=-1)
+            costs.append(0.5 * jnp.sum(blocks[ci].weight * sq))
+        return sum(costs)
+
+    wc = jax.jit(weighted_cost)
+    eps = 1e-5 if state.points.dtype == jnp.float64 else 3e-3
+    c_plus = float(wc(retract(state, jax.tree_util.tree_map(
+        lambda x: eps * x, v)), warm))
+    c_minus = float(wc(retract(state, jax.tree_util.tree_map(
+        lambda x: -eps * x, v)), warm))
+    fd = (c_plus - c_minus) / (2 * eps)
+    denom = max(abs(analytic), abs(fd), 1e-12)
+    rel_grad = abs(fd - analytic) / denom
+    assert rel_grad < 5e-2, (
+        f"gradient check failed: analytic {analytic} vs FD {fd} "
+        f"(rel {rel_grad})"
+    )
+    return {
+        "cost": c1,
+        "cost_block_pass_rel_diff": rel_cost,
+        "grad_analytic": analytic,
+        "grad_fd": fd,
+        "grad_rel_diff": rel_grad,
+    }

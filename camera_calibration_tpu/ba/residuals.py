@@ -70,18 +70,19 @@ class GridIntr:
 
 
 def _window_onehots(base_xy, gh, gw, dtype):
-    """0/1 window indicators oy (n,4,gh), ox (n,4,gw) from base indices."""
-    off = jnp.arange(4, dtype=base_xy.dtype)
+    """Per-offset 0/1 window indicators as 2-D arrays.
+
+    Returns (oy_list[4] of (n, gh), ox_list[4] of (n, gw)).  Strictly 2-D:
+    every higher-rank per-observation tensor with small trailing dims
+    risks a lane-padded layout when materialized (the 34 GB failure mode
+    documented on GridIntr).
+    """
     by = base_xy[:, 1]
     bx = base_xy[:, 0]
-    oy = (
-        jnp.arange(gh, dtype=base_xy.dtype)[None, None, :]
-        == (by[:, None] + off[None, :])[..., None]
-    ).astype(dtype)
-    ox = (
-        jnp.arange(gw, dtype=base_xy.dtype)[None, None, :]
-        == (bx[:, None] + off[None, :])[..., None]
-    ).astype(dtype)
+    iota_h = jnp.arange(gh, dtype=base_xy.dtype)[None, :]
+    iota_w = jnp.arange(gw, dtype=base_xy.dtype)[None, :]
+    oy = [(iota_h == (by + y)[:, None]).astype(dtype) for y in range(4)]
+    ox = [(iota_w == (bx + x)[:, None]).astype(dtype) for x in range(4)]
     return oy, ox
 
 
@@ -119,8 +120,59 @@ def _cross_matrix(v):
     )
 
 
+def _grid_projection_blocks_pallas(model, x_cam, warm_xy, max_proj_iterations,
+                                   frames):
+    """Fused-kernel variant of _grid_projection_blocks (TPU hot path).
+
+    One Pallas launch runs the LM projection loop, the IFT sensitivities,
+    and the 4x4-window knot-Jacobian assembly grid-resident in VMEM
+    (models/central_generic_pallas.py) — the analog of the reference's
+    single-pass CUDA Jacobian kernel (cuda_joint_optimization.cu:92-281).
+    """
+    from camera_calibration_tpu.models import central_generic_pallas as cgp
+
+    n = x_cam.shape[0]
+    norm = jnp.linalg.norm(x_cam, axis=-1, keepdims=True)
+    d = x_cam / jnp.maximum(norm, 1e-18)
+    g0 = cg.pixel_to_grid(model, warm_xy)
+    lo, hi = cg._static_clamp_bounds(model)
+    eps = 1e-10
+    tile = 2048
+    n_pad = -(-n // tile) * tile
+    center = (0.5 * (lo[0] + hi[0]), 0.5 * (lo[1] + hi[1]))
+    dirs_p = cg._pad_rows(d, n_pad, (0.0, 0.0, 1.0))
+    g_p = cg._pad_rows(g0, n_pad, center)
+    if frames is None:
+        frames = manifolds.direction_tangents(model.grid)
+    t1, t2 = frames
+    sx, sy = cg.pixel_scale_to_grid_scale(model)
+    g_star, cost, ppx, _pn, jwin, base = cgp.project_blocks_pallas(
+        model.grid, t1, t2, dirs_p, g_p, lo, hi,
+        (1.0 / sx, 1.0 / sy),
+        max_iterations=int(max_proj_iterations), eps=eps, tile=tile,
+    )
+    g_star = g_star[:n]
+    pvalid = (cost[:n] < 1e4 * eps) & (norm[:, 0] > 1e-12)
+    px = cg.grid_to_pixel(model, g_star)
+    p = ppx[:, :n].T.reshape(n, 2, 3)  # pix_wrt_dir
+    pd = jnp.einsum("nij,nj->ni", p, d)
+    a = (p - pd[..., None] * d[:, None, :]) / jnp.maximum(
+        norm[..., None], 1e-18
+    )
+    intr = GridIntr(
+        j_win=jwin[:, :n],
+        base_xy=base[:, :n].T.astype(jnp.int32),
+        k_tangent=2,
+    )
+    return px, pvalid, a, intr
+
+
 def _grid_projection_blocks(model, x_cam, warm_xy, max_proj_iterations, frames):
     """Grid-model projection + (px, valid, jac_xcam, GridIntr)."""
+    if cg.pallas_projection_enabled(model, x_cam.dtype):
+        return _grid_projection_blocks_pallas(
+            model, x_cam, warm_xy, max_proj_iterations, frames
+        )
     px, g, pvalid = cg.project_points(
         model, x_cam, init_xy=warm_xy, max_iterations=max_proj_iterations
     )
@@ -266,12 +318,25 @@ def intr_apply_j(intr, tangent_intr):
     if isinstance(intr, GridIntr):
         gh, gw, k = tangent_intr.shape
         n = intr.j_win.shape[-1]
-        jw = intr.j_win.reshape(2, 4, 4, k, n)
         oy, ox = _window_onehots(intr.base_xy, gh, gw, intr.j_win.dtype)
-        # dense gather: window tangents via one-hot contractions (MXU)
-        rows = jnp.einsum("nyh,hwj->nywj", oy, tangent_intr)
-        win = jnp.einsum("nxw,nywj->nyxj", ox, rows)
-        return jnp.einsum("iyxjn,nyxj->ni", jw, win)
+        # dense window gather as unrolled 2-D contractions: per window row
+        # y, pull the tangent row (one (n,gh)@(gh,gw·k) matmul), then per
+        # (x, j) a rowwise dot with the column indicator — all operands
+        # stay 2-D (see GridIntr layout note)
+        t2 = tangent_intr.reshape(gh, gw * k)
+        out0 = jnp.zeros((n,), intr.j_win.dtype)
+        out1 = jnp.zeros((n,), intr.j_win.dtype)
+        for y in range(4):
+            rowsel = oy[y] @ t2  # (n, gw*k)
+            rs = rowsel.reshape(n, gw, k)
+            for j in range(k):
+                rj = rs[:, :, j]  # (n, gw) — slice of a fresh product
+                for x in range(4):
+                    win_val = jnp.sum(ox[x] * rj, axis=1)  # (n,)
+                    f = (y * 4 + x) * k + j
+                    out0 = out0 + intr.j_win[f] * win_val
+                    out1 = out1 + intr.j_win[16 * k + f] * win_val
+        return jnp.stack([out0, out1], axis=-1)
     return jnp.einsum("nik,k->ni", intr.j_params, tangent_intr)
 
 
@@ -280,11 +345,21 @@ def intr_apply_jtw(intr, ws, tangent_shape_like):
     if isinstance(intr, GridIntr):
         gh, gw, k = tangent_shape_like.shape
         n = intr.j_win.shape[-1]
-        jw = intr.j_win.reshape(2, 4, 4, k, n)
         oy, ox = _window_onehots(intr.base_xy, gh, gw, intr.j_win.dtype)
-        contrib = jnp.einsum("iyxjn,ni->nyxj", jw, ws)
-        rows = jnp.einsum("nxw,nyxj->nywj", ox, contrib)
-        return jnp.einsum("nyh,nywj->hwj", oy, rows)
+        ws0 = ws[:, 0]
+        ws1 = ws[:, 1]
+        out = jnp.zeros((gh, gw, k), intr.j_win.dtype)
+        for y in range(4):
+            for x in range(4):
+                for j in range(k):
+                    f = (y * 4 + x) * k + j
+                    contrib = (
+                        intr.j_win[f] * ws0 + intr.j_win[16 * k + f] * ws1
+                    )  # (n,)
+                    # scatter into knots: (gh,n)@(n,gw) rank-expanded sum
+                    block = (oy[y] * contrib[:, None]).T @ ox[x]
+                    out = out.at[:, :, j].add(block)
+        return out
     return jnp.einsum("nik,ni->k", intr.j_params, ws)
 
 

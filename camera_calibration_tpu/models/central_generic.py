@@ -166,6 +166,54 @@ def unproject_with_jacobian(model: CentralGenericModel, xy):
 # ------------------------------ projection ------------------------------
 
 
+def pallas_projection_enabled(model: CentralGenericModel, dtype) -> bool:
+    """Static switch for the fused Pallas projection kernels.
+
+    True on TPU-like backends for f32 grids (the BA hot path); the XLA
+    path remains the reference implementation and the only path on CPU
+    (tests run f64 on CPU).  Override with CCT_PALLAS=0.
+    """
+    import os
+
+    if os.environ.get("CCT_PALLAS", "1") == "0":
+        return False
+    if dtype != jnp.float32 or model.grid.dtype != jnp.float32:
+        return False
+    try:
+        return jax.default_backend() != "cpu"
+    except Exception:  # pragma: no cover - backend probing never raises
+        return False
+
+
+def _static_clamp_bounds(model: CentralGenericModel):
+    """Python-float mirror of _grid_clamp_bounds (for static kernel params)."""
+    ex = model.calibration_max_x + 1 - model.calibration_min_x
+    ey = model.calibration_max_y + 1 - model.calibration_min_y
+    gw, gh = model.grid_width, model.grid_height
+
+    def gx(px):
+        return 1.0 + (gw - 3.0) * (px - model.calibration_min_x) / ex
+
+    def gy(py):
+        return 1.0 + (gh - 3.0) * (py - model.calibration_min_y) / ey
+
+    lo = (gx(model.calibration_min_x), gy(model.calibration_min_y))
+    hi = (gx(model.calibration_max_x + 0.999),
+          gy(model.calibration_max_y + 0.999))
+    return lo, hi
+
+
+def _pad_rows(a, n_pad, fill):
+    """Pad axis 0 of (n, k) to n_pad with a constant row."""
+    n = a.shape[0]
+    if n == n_pad:
+        return a
+    pad = jnp.broadcast_to(
+        jnp.asarray(fill, a.dtype), (n_pad - n,) + a.shape[1:]
+    )
+    return jnp.concatenate([a, pad], axis=0)
+
+
 def _grid_clamp_bounds(model: CentralGenericModel):
     """Clamp range for the projection test state, in grid coords.
 
@@ -217,6 +265,26 @@ def project_directions(
         )
         init_xy = jnp.broadcast_to(center, (n, 2))
     g = pixel_to_grid(model, init_xy.astype(dtype))
+
+    if pallas_projection_enabled(model, dtype):
+        from camera_calibration_tpu.models import central_generic_pallas as cgp
+
+        tile = 2048
+        n_pad = -(-n // tile) * tile
+        lo_s, hi_s = _static_clamp_bounds(model)
+        center = (
+            0.5 * (lo_s[0] + hi_s[0]), 0.5 * (lo_s[1] + hi_s[1])
+        )
+        dirs_p = _pad_rows(dirs, n_pad, (0.0, 0.0, 1.0))
+        g_p = _pad_rows(g, n_pad, center)
+        g_out, final_cost = cgp.project_grid_coords_pallas(
+            model.grid, dirs_p, g_p, lo_s, hi_s,
+            max_iterations=int(max_iterations), eps=float(eps), tile=tile,
+        )
+        g_out = g_out[:n]
+        valid = final_cost[:n] < jnp.asarray(1e4 * eps, dtype)
+        return grid_to_pixel(model, g_out), g_out, valid
+
     lo, hi = _grid_clamp_bounds(model)
 
     def dir_residual(g_pts):

@@ -226,3 +226,27 @@ def test_block_chunk_streaming_matches():
     np.testing.assert_allclose(
         np.asarray(out_a[0].points), np.asarray(out_b[0].points), atol=1e-12
     )
+
+
+def test_verify_cost_guards():
+    """Runtime numeric guards (the reference's VerifyCost /
+    VerifyAnalyticalJacobian hooks, lm_optimizer.h:415-627)."""
+    state_gt, obs, segments = ba_harness.make_problem(
+        seed=20, n_points=40, n_poses=6
+    )
+    state0 = ba_harness.perturb_state(state_gt, seed=21)
+    from camera_calibration_tpu.ba.dataset import split_by_camera
+
+    data = split_by_camera(obs, segments)
+    out = lm_pcg.verify_cost(
+        state0, data, lm_pcg.BAOptions(max_pcg_iterations=10)
+    )
+    assert out["grad_rel_diff"] < 5e-2
+    assert out["cost_block_pass_rel_diff"] < 1e-6
+
+    # and through the optimize() toggle
+    state, info = lm_pcg.optimize(
+        state0, obs, segments,
+        lm_pcg.BAOptions(max_lm_iterations=2, debug_verify=True),
+    )
+    assert len(info["history"]) >= 1
