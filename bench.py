@@ -96,7 +96,9 @@ def make_bench_problem(w=640, h=480, gres=16, n_points=1024, n_poses=256,
         pixel=jnp.asarray(np.pad(pxo, ((0, cap - n), (0, 0))), dtype),
         valid=jnp.asarray(np.arange(cap) < n),
     )
-    data = (seg,)
+    from camera_calibration_tpu.ba.dataset import to_grid_layout
+
+    data = (to_grid_layout(seg, n_poses, n_points),)
 
     # Perturb so the solver does real work.
     state = BAState(

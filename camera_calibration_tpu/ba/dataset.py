@@ -69,19 +69,31 @@ class Dataset:
 def _obs_dataclass(cls):
     cls = dataclasses.dataclass(frozen=True)(cls)
     fields = [f.name for f in dataclasses.fields(cls)]
-    jax.tree_util.register_dataclass(cls, data_fields=fields, meta_fields=[])
+    meta = [f for f in fields if f == "grid_shape"]
+    data = [f for f in fields if f != "grid_shape"]
+    jax.tree_util.register_dataclass(cls, data_fields=data, meta_fields=meta)
     return cls
 
 
 @_obs_dataclass
 class ObservationTable:
-    """Padded SoA observation table for device-side BA."""
+    """Padded SoA observation table for device-side BA.
+
+    When ``grid_shape=(M, P)`` is set the table is in *grid layout*: row
+    ``m * P + p`` holds the observation of point ``p`` in imageset ``m``
+    (invalid where unobserved).  In this layout every imageset/point
+    segment reduction is a reshape + axis sum and every state gather is a
+    broadcast — no one-hot indicators, no gathers — which is the
+    TPU-native shape of a calibration problem (dense board visibility).
+    See ``to_grid_layout``.
+    """
 
     imageset: jnp.ndarray  # (N,) int32
     camera: jnp.ndarray  # (N,) int32
     point: jnp.ndarray  # (N,) int32 — index into the points array
     pixel: jnp.ndarray  # (N, 2)
     valid: jnp.ndarray  # (N,) bool
+    grid_shape: tuple | None = None  # static (M, P) when in grid layout
 
     @property
     def count(self):
@@ -135,6 +147,37 @@ def pad_table(obs: ObservationTable, multiple: int) -> ObservationTable:
         point=pad_idx(obs.point),
         pixel=pad_arr(obs.pixel),
         valid=pad_arr(obs.valid, False),
+    )
+
+
+def to_grid_layout(
+    obs: ObservationTable, n_imagesets: int, n_points: int
+) -> ObservationTable:
+    """Re-lay a (single-camera) table into dense (M, P) grid layout.
+
+    Row ``m * P + p`` of the result is the observation of point ``p`` in
+    imageset ``m`` (valid=False where unobserved).  Host-side one-time
+    transform; at most one observation per (imageset, point) pair is
+    assumed (true by construction: a board point appears once per image).
+    """
+    m, p = int(n_imagesets), int(n_points)
+    ims = np.asarray(obs.imageset)
+    pts = np.asarray(obs.point)
+    valid = np.asarray(obs.valid)
+    slot = (ims * p + pts)[valid]
+    pix_dtype = np.asarray(obs.pixel).dtype
+    pixel = np.zeros((m * p, 2), pix_dtype)
+    pixel[slot] = np.asarray(obs.pixel)[valid]
+    vout = np.zeros(m * p, bool)
+    vout[slot] = True
+    cam0 = int(np.asarray(obs.camera)[0]) if obs.count else 0
+    return ObservationTable(
+        imageset=jnp.asarray(np.repeat(np.arange(m, dtype=np.int32), p)),
+        camera=jnp.full((m * p,), cam0, jnp.int32),
+        point=jnp.asarray(np.tile(np.arange(p, dtype=np.int32), m)),
+        pixel=jnp.asarray(pixel),
+        valid=jnp.asarray(vout),
+        grid_shape=(m, p),
     )
 
 

@@ -87,6 +87,14 @@ class BAOptions:
     # Run verify_cost() once before optimizing (the reference's
     # debug_verify_cost harness toggle, test/util.h:464).
     debug_verify: bool = False
+    # Observation-table layout.  "auto" re-lays each per-camera table into
+    # dense (imagesets × points) grid layout (dataset.to_grid_layout) when
+    # the fill ratio justifies it — segment reductions become axis sums
+    # and state gathers become broadcasts, the TPU-native shape of a
+    # calibration problem.  "flat" keeps the given tables.
+    table_layout: str = "auto"
+    # "auto" uses grid layout when M·P ≤ this factor × valid obs count.
+    grid_layout_max_expand: float = 1.6
     # Memory-bounded block computation: when set, residual/Jacobian blocks
     # are evaluated in lax.map chunks of this many observations so the
     # projection/IFT transients never exceed the chunk footprint — the
@@ -95,6 +103,95 @@ class BAOptions:
     # (irreducible) per-observation block cache.  Must divide the padded
     # table size.  None = single fused evaluation.
     block_chunk: int | None = None
+
+
+def _grid_mp(seg, m=None, p=None):
+    """The (M, P) grid shape if this segment is in grid layout (else None).
+
+    When ``m``/``p`` are given, the layout is only used if it matches the
+    state's imageset/point counts (it always does for tables produced by
+    ``dataset.to_grid_layout``; the guard keeps sliced tables safe).
+    """
+    gs = getattr(seg, "grid_shape", None)
+    if gs is None:
+        return None
+    if m is not None and gs[0] != m:
+        return None
+    if p is not None and gs[1] != p:
+        return None
+    return gs
+
+
+def _jv_imageset(seg, j, arr):
+    """einsum('nik,nk->ni', j, arr[seg.imageset]) without the gather."""
+    gs = _grid_mp(seg, m=arr.shape[0])
+    if gs is not None:
+        mm, pp = gs
+        jg = j.reshape((mm, pp) + j.shape[1:])
+        return jnp.einsum("mpik,mk->mpi", jg, arr).reshape(j.shape[:2])
+    return jnp.einsum("nik,nk->ni", j, arr[seg.imageset])
+
+
+def _jv_point(seg, j, arr):
+    """einsum('nik,nk->ni', j, arr[seg.point]) without the gather."""
+    gs = _grid_mp(seg, p=arr.shape[0])
+    if gs is not None:
+        mm, pp = gs
+        jg = j.reshape((mm, pp) + j.shape[1:])
+        return jnp.einsum("mpik,pk->mpi", jg, arr).reshape(j.shape[:2])
+    return jnp.einsum("nik,nk->ni", j, arr[seg.point])
+
+
+def _jtw_imageset(seg, j, ws, m):
+    """segment_sum(einsum('nik,ni->nk', j, ws), seg.imageset, m)."""
+    gs = _grid_mp(seg, m=m)
+    if gs is not None:
+        mm, pp = gs
+        jg = j.reshape((mm, pp) + j.shape[1:])
+        return jnp.einsum("mpik,mpi->mk", jg, ws.reshape(mm, pp, 2))
+    return onehot_segment_sum(
+        jnp.einsum("nik,ni->nk", j, ws), seg.imageset, m
+    )
+
+
+def _jtw_point(seg, j, ws, p):
+    """segment_sum(einsum('nik,ni->nk', j, ws), seg.point, p)."""
+    gs = _grid_mp(seg, p=p)
+    if gs is not None:
+        mm, pp = gs
+        jg = j.reshape((mm, pp) + j.shape[1:])
+        return jnp.einsum("mpik,mpi->pk", jg, ws.reshape(mm, pp, 2))
+    return onehot_segment_sum(
+        jnp.einsum("nik,ni->nk", j, ws), seg.point, p
+    )
+
+
+def _jtwj_diag_imageset(seg, j, w, m):
+    """segment_sum(einsum('nij,nik,n->njk', j, j, w), seg.imageset, m)."""
+    gs = _grid_mp(seg, m=m)
+    if gs is not None:
+        mm, pp = gs
+        jg = j.reshape((mm, pp) + j.shape[1:])
+        return jnp.einsum(
+            "mpij,mpik,mp->mjk", jg, jg, w.reshape(mm, pp)
+        )
+    return onehot_segment_sum(
+        jnp.einsum("nij,nik,n->njk", j, j, w), seg.imageset, m
+    )
+
+
+def _jtwj_diag_point(seg, j, w, p):
+    """segment_sum(einsum('nij,nik,n->njk', j, j, w), seg.point, p)."""
+    gs = _grid_mp(seg, p=p)
+    if gs is not None:
+        mm, pp = gs
+        jg = j.reshape((mm, pp) + j.shape[1:])
+        return jnp.einsum(
+            "mpij,mpik,mp->pjk", jg, jg, w.reshape(mm, pp)
+        )
+    return onehot_segment_sum(
+        jnp.einsum("nij,nik,n->njk", j, j, w), seg.point, p
+    )
 
 
 def _tree_dot(a, b):
@@ -197,9 +294,9 @@ def apply_j(data, blocks, tangent: BATangent):
     for ci, seg in enumerate(data):
         b = blocks[ci]
         s = (
-            jnp.einsum("nik,nk->ni", b.j_rig, tangent.rig[seg.imageset])
+            _jv_imageset(seg, b.j_rig, tangent.rig)
             + jnp.einsum("nik,k->ni", b.j_cam, tangent.cam[ci])
-            + jnp.einsum("nik,nk->ni", b.j_point, tangent.points[seg.point])
+            + _jv_point(seg, b.j_point, tangent.points)
             + res.intr_apply_j(b.intr, tangent.intr[ci])
         )
         outs.append(s)
@@ -214,17 +311,9 @@ def apply_jtw(data, blocks, s_list, state: BAState) -> BATangent:
     for ci, seg in enumerate(data):
         b = blocks[ci]
         ws = s_list[ci] * b.weight[:, None]  # (n, 2)
-        rig = rig + onehot_segment_sum(
-            jnp.einsum("nik,ni->nk", b.j_rig, ws),
-            seg.imageset,
-            rig.shape[0],
-        )
+        rig = rig + _jtw_imageset(seg, b.j_rig, ws, rig.shape[0])
         cam = cam.at[ci].add(jnp.sum(jnp.einsum("nik,ni->nk", b.j_cam, ws), axis=0))
-        pts = pts + onehot_segment_sum(
-            jnp.einsum("nik,ni->nk", b.j_point, ws),
-            seg.point,
-            pts.shape[0],
-        )
+        pts = pts + _jtw_point(seg, b.j_point, ws, pts.shape[0])
         intr[ci] = intr[ci] + res.intr_apply_jtw(b.intr, ws, intr[ci])
     return BATangent(rig=rig, cam=cam, points=pts, intr=tuple(intr))
 
@@ -252,19 +341,11 @@ def jtwj_block_diag(data, blocks, state: BAState):
     for ci, seg in enumerate(data):
         b = blocks[ci]
         w = b.weight
-        rig = rig + onehot_segment_sum(
-            jnp.einsum("nij,nik,n->njk", b.j_rig, b.j_rig, w),
-            seg.imageset,
-            m,
-        )
+        rig = rig + _jtwj_diag_imageset(seg, b.j_rig, w, m)
         cam = cam.at[ci].add(
             jnp.einsum("nij,nik,n->jk", b.j_cam, b.j_cam, w)
         )
-        pts = pts + onehot_segment_sum(
-            jnp.einsum("nij,nik,n->njk", b.j_point, b.j_point, w),
-            seg.point,
-            p_n,
-        )
+        pts = pts + _jtwj_diag_point(seg, b.j_point, w, p_n)
         bi = b.intr
         if isinstance(bi, res.GridIntr):
             zero = zero_tangent(state).intr[ci]
@@ -347,13 +428,11 @@ def _apply_j_subset(data, blocks, tangent: BATangent, *, rig=True, cam=True,
         b = blocks[ci]
         s = jnp.zeros_like(b.r)
         if rig:
-            s = s + jnp.einsum("nik,nk->ni", b.j_rig, tangent.rig[seg.imageset])
+            s = s + _jv_imageset(seg, b.j_rig, tangent.rig)
         if cam:
             s = s + jnp.einsum("nik,k->ni", b.j_cam, tangent.cam[ci])
         if points:
-            s = s + jnp.einsum(
-                "nik,nk->ni", b.j_point, tangent.points[seg.point]
-            )
+            s = s + _jv_point(seg, b.j_point, tangent.points)
         if intr:
             s = s + res.intr_apply_j(b.intr, tangent.intr[ci])
         outs.append(s)
@@ -370,21 +449,13 @@ def _apply_jt_subset(data, blocks, s_list, state: BAState, *, rig=True,
         b = blocks[ci]
         ws = s_list[ci] * b.weight[:, None]
         if rig:
-            rig_t = rig_t + onehot_segment_sum(
-                jnp.einsum("nik,ni->nk", b.j_rig, ws),
-                seg.imageset,
-                rig_t.shape[0],
-            )
+            rig_t = rig_t + _jtw_imageset(seg, b.j_rig, ws, rig_t.shape[0])
         if cam:
             cam_t = cam_t.at[ci].add(
                 jnp.sum(jnp.einsum("nik,ni->nk", b.j_cam, ws), axis=0)
             )
         if points:
-            pts_t = pts_t + onehot_segment_sum(
-                jnp.einsum("nik,ni->nk", b.j_point, ws),
-                seg.point,
-                pts_t.shape[0],
-            )
+            pts_t = pts_t + _jtw_point(seg, b.j_point, ws, pts_t.shape[0])
         if intr:
             intr_t[ci] = intr_t[ci] + res.intr_apply_jtw(b.intr, ws, intr_t[ci])
     return BATangent(rig=rig_t, cam=cam_t, points=pts_t, intr=tuple(intr_t))
@@ -708,6 +779,31 @@ def make_lm_scan(options: BAOptions, n_steps: int, jit: bool = True):
     return jax.jit(scanned) if jit else scanned
 
 
+def maybe_grid_layout(data, state: BAState, options: BAOptions):
+    """Re-lay per-camera tables into (M, P) grid layout when beneficial.
+
+    Host-side, one-time: only applied to concrete (unsharded) tables; a
+    caller that shards its own ``data`` converts before sharding.
+    """
+    from camera_calibration_tpu.ba.dataset import to_grid_layout
+
+    if options.table_layout == "flat":
+        return data
+    m = state.rig_q_global.shape[0]
+    p = state.points.shape[0]
+    out = []
+    for seg in data:
+        if seg.grid_shape is not None:
+            out.append(seg)
+            continue
+        n_valid = int(np.asarray(jnp.sum(seg.valid)))
+        if m * p <= options.grid_layout_max_expand * max(n_valid, 1):
+            out.append(to_grid_layout(seg, m, p))
+        else:
+            out.append(seg)
+    return tuple(out)
+
+
 def optimize(
     state: BAState,
     obs,
@@ -727,6 +823,7 @@ def optimize(
 
     if data is None:
         data = split_by_camera(obs, segments)
+        data = maybe_grid_layout(data, state, options)
     if options.debug_verify:
         verify_cost(state, data, options)
     k = max(1, int(options.lm_steps_per_call))

@@ -236,14 +236,19 @@ def segment_blocks(
     huber_px: float = 1.0,
     max_proj_iterations: int = 10,
     tangent_frames=None,
+    grid_shape=None,
 ):
     """Residuals + all Jacobian blocks for one camera's observations.
 
     Returns (ObsBlocks, new_warm_xy).
     """
+    from camera_calibration_tpu.ba.state import broadcast_rows
+
     dtype = state.points.dtype
-    x = state.points[point_idx]
-    x_cam, x_rig = transform_to_camera(state, imageset_idx, camera_idx, x)
+    x = broadcast_rows(state.points, point_idx, grid_shape, 1)
+    x_cam, x_rig = transform_to_camera(
+        state, imageset_idx, camera_idx, x, grid_shape=grid_shape
+    )
 
     if isinstance(model, ncg.NoncentralGenericModel):
         px, g, pvalid = ncg.project_points(
@@ -271,11 +276,15 @@ def segment_blocks(
     valid = obs_valid & pvalid
 
     r_c = se3.quat_to_matrix(state.cam_q_rig[camera_idx])  # (n,3,3)
-    r_r = se3.quat_to_matrix(state.rig_q_global[imageset_idx])
+    r_r = se3.quat_to_matrix(
+        broadcast_rows(state.rig_q_global, imageset_idx, grid_shape, 0)
+    )
     a_rc = jnp.einsum("nij,njk->nik", a, r_c)  # (n,2,3)
 
     j_point = jnp.einsum("nik,nkl->nil", a_rc, r_r)
-    v_r = x_rig - state.rig_t_global[imageset_idx]  # R_r x
+    v_r = x_rig - broadcast_rows(
+        state.rig_t_global, imageset_idx, grid_shape, 0
+    )  # R_r x
     j_rig_rot = -jnp.einsum("nik,nkl->nil", a_rc, _cross_matrix(v_r))
     j_rig = jnp.concatenate([j_rig_rot, a_rc], axis=-1)  # (n,2,6)
     v_c = x_cam - state.cam_t_rig[camera_idx]  # R_c x_rig

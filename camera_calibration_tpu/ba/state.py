@@ -126,10 +126,32 @@ def fix_gauge_mask(state: BAState, freeze=()) -> BATangent:
     )
 
 
-def transform_to_camera(state: BAState, imageset_idx, camera_idx, points):
+def broadcast_rows(arr, idx, grid_shape, axis):
+    """arr[idx] — or, in (M, P) grid layout, the equivalent broadcast.
+
+    axis 0: idx is the imageset column (row m repeated P times);
+    axis 1: idx is the point column (rows 0..P-1 tiled M times).
+    A broadcast+reshape is ~2× cheaper than the gather on TPU and lets
+    XLA fuse the expansion into the consumer.
+    """
+    if grid_shape is not None:
+        m, p = grid_shape
+        if axis == 0 and arr.shape[0] == m:
+            return jnp.broadcast_to(
+                arr[:, None], (m, p) + arr.shape[1:]
+            ).reshape((m * p,) + arr.shape[1:])
+        if axis == 1 and arr.shape[0] == p:
+            return jnp.broadcast_to(
+                arr[None], (m, p) + arr.shape[1:]
+            ).reshape((m * p,) + arr.shape[1:])
+    return arr[idx]
+
+
+def transform_to_camera(state: BAState, imageset_idx, camera_idx, points,
+                        grid_shape=None):
     """x_cam for observations: gather poses and apply the rig chain."""
-    rq = state.rig_q_global[imageset_idx]
-    rt = state.rig_t_global[imageset_idx]
+    rq = broadcast_rows(state.rig_q_global, imageset_idx, grid_shape, 0)
+    rt = broadcast_rows(state.rig_t_global, imageset_idx, grid_shape, 0)
     cq = state.cam_q_rig[camera_idx]
     ct = state.cam_t_rig[camera_idx]
     x_rig = se3.quat_rotate(rq, points) + rt

@@ -98,6 +98,7 @@ def shard_observations_multihost(local_data, mesh, axis_name: str = "obs"):
             point=to_global(seg.point, row),
             pixel=to_global(seg.pixel, row2),
             valid=to_global(seg.valid, row),
+            grid_shape=seg.grid_shape,
         ))
     return tuple(out)
 

@@ -46,6 +46,7 @@ def shard_observations(data, mesh: Mesh, axis_name: str = "obs"):
                 point=jax.device_put(seg.point, row),
                 pixel=jax.device_put(seg.pixel, row2),
                 valid=jax.device_put(seg.valid, row),
+                grid_shape=seg.grid_shape,
             )
         )
     return tuple(out)

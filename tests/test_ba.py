@@ -228,6 +228,37 @@ def test_block_chunk_streaming_matches():
     )
 
 
+def test_grid_layout_matches_flat():
+    """Dense (M, P) grid-layout tables must optimize identically to flat
+    tables (segment sums as axis reductions vs one-hot contractions)."""
+    from camera_calibration_tpu.ba.dataset import split_by_camera, to_grid_layout
+
+    state_gt, obs, segments = ba_harness.make_problem(
+        seed=30, n_points=40, n_poses=6
+    )
+    state0 = ba_harness.perturb_state(state_gt, seed=31)
+    opts = lm_pcg.BAOptions(max_lm_iterations=4, max_pcg_iterations=15)
+
+    flat = split_by_camera(obs, segments)
+    grid = tuple(
+        to_grid_layout(seg, state0.rig_q_global.shape[0],
+                       state0.points.shape[0])
+        for seg in flat
+    )
+    assert grid[0].grid_shape == (6, 40)
+    out_f, info_f = lm_pcg.optimize(state0, None, None, opts, data=flat)
+    out_g, info_g = lm_pcg.optimize(state0, None, None, opts, data=grid)
+    np.testing.assert_allclose(
+        info_f["final_cost"], info_g["final_cost"], rtol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_f.points), np.asarray(out_g.points), atol=1e-7
+    )
+    # and the auto heuristic inside optimize() picks the grid layout
+    data_auto = lm_pcg.maybe_grid_layout(flat, state0, opts)
+    assert data_auto[0].grid_shape == (6, 40)
+
+
 def test_verify_cost_guards():
     """Runtime numeric guards (the reference's VerifyCost /
     VerifyAnalyticalJacobian hooks, lm_optimizer.h:415-627)."""
