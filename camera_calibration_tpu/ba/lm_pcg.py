@@ -194,6 +194,22 @@ def _jtwj_diag_point(seg, j, w, p):
     )
 
 
+def _valid_grid_shape(seg, state):
+    """The segment's (M, P) grid shape when consistent with the state and
+    the table's row count (else None — flat gather path)."""
+    gs = getattr(seg, "grid_shape", None)
+    if gs is None:
+        return None
+    m, p = gs
+    if (
+        m != state.rig_q_global.shape[0]
+        or p != state.points.shape[0]
+        or m * p != seg.imageset.shape[0]
+    ):
+        return None
+    return gs
+
+
 def _tree_dot(a, b):
     return jax.tree_util.tree_reduce(
         jnp.add, jax.tree_util.tree_map(lambda x, y: jnp.vdot(x, y), a, b)
@@ -224,7 +240,7 @@ def compute_blocks(data, state: BAState, warm_xy, options: BAOptions):
             else None
         )
 
-        def eval_blocks(tbl, warm):
+        def eval_blocks(tbl, warm, gs):
             return res.segment_blocks(
                 model,
                 state,
@@ -237,22 +253,23 @@ def compute_blocks(data, state: BAState, warm_xy, options: BAOptions):
                 huber_px=options.huber_px,
                 max_proj_iterations=options.proj_iterations,
                 tangent_frames=frames,
+                grid_shape=gs,
             )
 
+        gs = _valid_grid_shape(seg, state)
         chunk = options.block_chunk
         n_obs = seg.imageset.shape[0]
         if chunk and n_obs > chunk and n_obs % chunk == 0:
             k = n_obs // chunk
 
-            def reshard(a):
-                return a.reshape((k, chunk) + a.shape[2:])
-
             tbl_c = jax.tree_util.tree_map(
                 lambda a: a.reshape((k, chunk) + a.shape[1:]), seg
             )
             warm_c = warm_xy[ci].reshape(k, chunk, 2)
+            # chunks break the (M, P) row structure: flat evaluation
             b, w = jax.lax.map(
-                lambda args: eval_blocks(args[0], args[1]), (tbl_c, warm_c)
+                lambda args: eval_blocks(args[0], args[1], None),
+                (tbl_c, warm_c),
             )
 
             def merge_lead(a):
@@ -282,7 +299,7 @@ def compute_blocks(data, state: BAState, warm_xy, options: BAOptions):
             )
             w = w.reshape(n_obs, 2)
         else:
-            b, w = eval_blocks(seg, warm_xy[ci])
+            b, w = eval_blocks(seg, warm_xy[ci], gs)
         blocks.append(b)
         new_warm.append(w)
     return blocks, tuple(new_warm)
@@ -651,7 +668,7 @@ def total_cost(data, state, warm_xy, options):
     """Robust total cost + per-obs validity (paired-comparison support)."""
     costs, valids, warms = [], [], []
     for ci, seg in enumerate(data):
-        def eval_cost(tbl, warm):
+        def eval_cost(tbl, warm, gs):
             return res.segment_cost(
                 state.intrinsics[ci],
                 state,
@@ -663,8 +680,10 @@ def total_cost(data, state, warm_xy, options):
                 warm,
                 huber_px=options.huber_px,
                 max_proj_iterations=options.proj_iterations,
+                grid_shape=gs,
             )
 
+        gs = _valid_grid_shape(seg, state)
         chunk = options.block_chunk
         n_obs = seg.imageset.shape[0]
         if chunk and n_obs > chunk and n_obs % chunk == 0:
@@ -674,13 +693,14 @@ def total_cost(data, state, warm_xy, options):
             )
             warm_c = warm_xy[ci].reshape(k, chunk, 2)
             cost, valid, w = jax.lax.map(
-                lambda args: eval_cost(args[0], args[1]), (tbl_c, warm_c)
+                lambda args: eval_cost(args[0], args[1], None),
+                (tbl_c, warm_c),
             )
             cost = cost.reshape(n_obs)
             valid = valid.reshape(n_obs)
             w = w.reshape(n_obs, 2)
         else:
-            cost, valid, w = eval_cost(seg, warm_xy[ci])
+            cost, valid, w = eval_cost(seg, warm_xy[ci], gs)
         costs.append(cost)
         valids.append(valid)
         warms.append(w)

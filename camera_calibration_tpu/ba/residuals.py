@@ -331,7 +331,10 @@ def intr_apply_j(intr, tangent_intr):
         # dense window gather as unrolled 2-D contractions: per window row
         # y, pull the tangent row (one (n,gh)@(gh,gw·k) matmul), then per
         # (x, j) a rowwise dot with the column indicator — all operands
-        # stay 2-D (see GridIntr layout note)
+        # stay 2-D (see GridIntr layout note).  A batched-einsum variant
+        # (rank-4/5 operands, 3 einsums) was measured 2.7× SLOWER on the
+        # TPU bench: small-trailing-dim batched contractions defeat the
+        # tiled layout; unrolled 2-D matmuls are the fast form here.
         t2 = tangent_intr.reshape(gh, gw * k)
         out0 = jnp.zeros((n,), intr.j_win.dtype)
         out1 = jnp.zeros((n,), intr.j_win.dtype)
@@ -384,14 +387,19 @@ def segment_cost(
     *,
     huber_px: float = 1.0,
     max_proj_iterations: int = 10,
+    grid_shape=None,
 ):
     """Cost-only evaluation (for LM accept/reject tests).
 
     Returns (per-obs robust cost, validity, warm pixels).
     """
+    from camera_calibration_tpu.ba.state import broadcast_rows
+
     dtype = state.points.dtype
-    x = state.points[point_idx]
-    x_cam, _ = transform_to_camera(state, imageset_idx, camera_idx, x)
+    x = broadcast_rows(state.points, point_idx, grid_shape, 1)
+    x_cam, _ = transform_to_camera(
+        state, imageset_idx, camera_idx, x, grid_shape=grid_shape
+    )
     px, _, pvalid = protocol.project_points(
         model, x_cam, init_xy=warm_xy, max_iterations=max_proj_iterations
     )
