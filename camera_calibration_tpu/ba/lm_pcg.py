@@ -216,6 +216,46 @@ def _tree_dot(a, b):
     )
 
 
+def _flat_cg(matvec_flat, precond_flat, b_flat, options):
+    """Preconditioned CG on flat tangent vectors.
+
+    The CG vector algebra (dots, axpys, masking) runs on single flat
+    arrays: the structured pytree form costs ~8 leaves × several tiny
+    ops per iteration, and on this runtime the while-loop body is
+    dispatch-bound, not FLOP-bound.  Structured computation lives only
+    inside ``matvec_flat``/``precond_flat``.  Returns (x_flat, iters).
+    """
+    x = jnp.zeros_like(b_flat)
+    r = b_flat
+    z = precond_flat(r)
+    p = z
+    rz = jnp.vdot(r, z)
+    b_norm = jnp.sqrt(jnp.vdot(b_flat, b_flat))
+    tol = options.pcg_rel_tolerance * b_norm
+
+    def body(c):
+        x, r, z, p, rz, k = c
+        ap = matvec_flat(p)
+        alpha = rz / jnp.maximum(jnp.vdot(p, ap), 1e-35)
+        x = x + alpha * p
+        r = r - alpha * ap
+        z = precond_flat(r)
+        rz_new = jnp.vdot(r, z)
+        beta = rz_new / jnp.maximum(rz, 1e-35)
+        p = z + beta * p
+        return x, r, z, p, rz_new, k + 1
+
+    def cond(c):
+        _, r, _, _, _, k = c
+        rn = jnp.sqrt(jnp.vdot(r, r))
+        return (k < options.max_pcg_iterations) & (rn > tol)
+
+    x, _, _, _, _, iters = jax.lax.while_loop(
+        cond, body, (x, r, z, p, rz, jnp.int32(0))
+    )
+    return x, iters
+
+
 def _tree_map2(f, a, b):
     return jax.tree_util.tree_map(f, a, b)
 
@@ -555,19 +595,23 @@ def schur_pcg_solve(data, blocks, state, grad, block_diag, lam, mask, options,
         state,
     )
 
-    def matvec(v):
-        v = zero_elim(_masked(v, mask))
+    from jax.flatten_util import ravel_pytree
+
+    mask_keep_flat, unravel = ravel_pytree(zero_elim(mask))
+
+    def matvec_flat(vf):
+        v = unravel(vf * mask_keep_flat)
         u = apply_j_keep(v)
         t_e = apply_jt_elim(u)
         y_e = jnp.einsum("pjk,pk->pj", d_inv, t_e)
         u2 = apply_j_elim(y_e)
         diff = [a - b_ for a, b_ in zip(u, u2)]
-        out = apply_jt_keep(diff)
-        out = zero_elim(_masked(out, mask))
-        return _tree_map2(lambda o, vi: o + lam * vi, out, v)
+        out = ravel_pytree(apply_jt_keep(diff))[0]
+        return (out + lam * vf) * mask_keep_flat
 
-    def apply_m_inv(r):
-        return zero_elim(_masked(precond(_masked(r, mask)), mask))
+    def precond_flat(rf):
+        zf = ravel_pytree(precond(unravel(rf * mask_keep_flat)))[0]
+        return zf * mask_keep_flat
 
     # reduced RHS: b_keep = −g_keep + B D⁻¹ g_elim
     g_e = get_elim(grad)
@@ -575,37 +619,10 @@ def schur_pcg_solve(data, blocks, state, grad, block_diag, lam, mask, options,
     u2 = apply_j_elim(y_e)
     corr = apply_jt_keep(u2)
     b = _tree_map2(lambda g, c: -g + c, grad, corr)
-    b = zero_elim(_masked(b, mask))
+    b_flat = ravel_pytree(b)[0] * mask_keep_flat
 
-    x = zero_tangent(state)
-    r = b
-    z = apply_m_inv(r)
-    p = z
-    rz = _tree_dot(r, z)
-    b_norm = jnp.sqrt(_tree_dot(b, b))
-    tol = options.pcg_rel_tolerance * b_norm
-
-    def body(c):
-        x, r, z, p, rz, k = c
-        ap = matvec(p)
-        alpha = rz / jnp.maximum(_tree_dot(p, ap), 1e-35)
-        x = _tree_map2(lambda xi, pi: xi + alpha * pi, x, p)
-        r = _tree_map2(lambda ri, api: ri - alpha * api, r, ap)
-        z = apply_m_inv(r)
-        rz_new = _tree_dot(r, z)
-        beta = rz_new / jnp.maximum(rz, 1e-35)
-        p = _tree_map2(lambda zi, pi: zi + beta * pi, z, p)
-        return x, r, z, p, rz_new, k + 1
-
-    def cond(c):
-        _, r, _, _, _, k = c
-        rn = jnp.sqrt(_tree_dot(r, r))
-        return (k < options.max_pcg_iterations) & (rn > tol)
-
-    x, _, _, _, _, iters = jax.lax.while_loop(
-        cond, body, (x, r, z, p, rz, jnp.int32(0))
-    )
-    x = zero_elim(_masked(x, mask))
+    x_flat, iters = _flat_cg(matvec_flat, precond_flat, b_flat, options)
+    x = unravel(x_flat * mask_keep_flat)
 
     # back-substitution: δ_e = D⁻¹ (−g_e − Bᵀ δ_keep)
     u = apply_j_keep(x)
@@ -617,51 +634,24 @@ def schur_pcg_solve(data, blocks, state, grad, block_diag, lam, mask, options,
 
 def pcg_solve(data, blocks, state, grad, block_diag, lam, mask, options):
     """Solve (JᵀWJ + λI) δ = −grad with block-Jacobi preconditioning."""
+    from jax.flatten_util import ravel_pytree
 
-    def matvec(v):
-        v = _masked(v, mask)
-        jv = apply_j(data, blocks, v)
-        hv = apply_jtw(data, blocks, jv, state)
-        hv = _masked(hv, mask)
-        return _tree_map2(lambda h, vi: h + lam * vi, hv, v)
-
+    mask_flat, unravel = ravel_pytree(mask)
     precond = make_block_preconditioner(block_diag, lam, state)
 
-    def apply_m_inv(r):
-        return _masked(precond(_masked(r, mask)), mask)
+    def matvec_flat(vf):
+        v = unravel(vf * mask_flat)
+        jv = apply_j(data, blocks, v)
+        hv = ravel_pytree(apply_jtw(data, blocks, jv, state))[0]
+        return (hv + lam * vf) * mask_flat
 
-    b = jax.tree_util.tree_map(lambda g: -g, grad)
-    b = _masked(b, mask)
+    def precond_flat(rf):
+        zf = ravel_pytree(precond(unravel(rf * mask_flat)))[0]
+        return zf * mask_flat
 
-    x = zero_tangent(state)
-    r = b
-    z = apply_m_inv(r)
-    p = z
-    rz = _tree_dot(r, z)
-    b_norm = jnp.sqrt(_tree_dot(b, b))
-    tol = options.pcg_rel_tolerance * b_norm
-
-    def body(c):
-        x, r, z, p, rz, k = c
-        ap = matvec(p)
-        alpha = rz / jnp.maximum(_tree_dot(p, ap), 1e-35)
-        x = _tree_map2(lambda xi, pi: xi + alpha * pi, x, p)
-        r = _tree_map2(lambda ri, api: ri - alpha * api, r, ap)
-        z = apply_m_inv(r)
-        rz_new = _tree_dot(r, z)
-        beta = rz_new / jnp.maximum(rz, 1e-35)
-        p = _tree_map2(lambda zi, pi: zi + beta * pi, z, p)
-        return x, r, z, p, rz_new, k + 1
-
-    def cond(c):
-        _, r, _, _, _, k = c
-        rn = jnp.sqrt(_tree_dot(r, r))
-        return (k < options.max_pcg_iterations) & (rn > tol)
-
-    x, _, _, _, _, iters = jax.lax.while_loop(
-        cond, body, (x, r, z, p, rz, jnp.int32(0))
-    )
-    return _masked(x, mask), iters
+    b_flat = -ravel_pytree(grad)[0] * mask_flat
+    x_flat, iters = _flat_cg(matvec_flat, precond_flat, b_flat, options)
+    return unravel(x_flat * mask_flat), iters
 
 
 def total_cost(data, state, warm_xy, options):
