@@ -697,8 +697,87 @@ def total_cost(data, state, warm_xy, options):
     return costs, valids, tuple(warms)
 
 
-def lm_step(state, warm_xy, lam, data, options: BAOptions):
-    """One LM iteration (pure; jit over (state, warm_xy, lam, data))."""
+def lm_step(state, warm_xy, lam, data, options: BAOptions, blocks=None):
+    """One LM iteration (pure; jit over (state, warm_xy, lam, data)).
+
+    When ``blocks`` (the residual/Jacobian cache evaluated at ``state``)
+    is given, the step reuses it and evaluates a FULL blocks pass at the
+    test state instead of the cost-only pass — the test-state blocks
+    double as the accept test AND as the next iteration's cache, so each
+    LM iteration runs exactly one projection/Jacobian sweep instead of
+    two (blocks + cost).  Returns the carried blocks as the last output.
+    The reference evaluates cost twice per iteration
+    (lm_optimizer.h:802-965); this restructuring is the TPU win of
+    keeping the whole cache device-resident.
+    """
+    if blocks is None:
+        return _lm_step_two_pass(state, warm_xy, lam, data, options)
+    mask = fix_gauge_mask(state, options.freeze)
+    grad = apply_jtw(data, blocks, [b.r for b in blocks], state)
+    grad = _masked(grad, mask)
+    block_diag = jtwj_block_diag(data, blocks, state)
+
+    rig_b, cam_b, pts_b, intr_b = block_diag
+    diag_sum = (
+        jnp.sum(jnp.trace(rig_b, axis1=-2, axis2=-1))
+        + jnp.sum(jnp.trace(cam_b, axis1=-2, axis2=-1))
+        + jnp.sum(jnp.trace(pts_b, axis1=-2, axis2=-1))
+        + sum(jnp.sum(jnp.trace(ib, axis1=-2, axis2=-1)) for ib in intr_b)
+    )
+    n_params = sum(
+        x.size for x in jax.tree_util.tree_leaves(zero_tangent(state))
+    )
+    mean_diag = diag_sum / n_params
+    lam = jnp.where(lam < 0, options.lambda_initial_factor * mean_diag, lam)
+
+    if options.solver == "schur" and "points" not in options.freeze:
+        delta, pcg_iters = schur_pcg_solve(
+            data, blocks, state, grad, block_diag, lam, mask, options,
+            eliminate="points",
+        )
+    elif options.solver == "schur_poses" and "poses" not in options.freeze:
+        delta, pcg_iters = schur_pcg_solve(
+            data, blocks, state, grad, block_diag, lam, mask, options,
+            eliminate="poses",
+        )
+    else:
+        delta, pcg_iters = pcg_solve(
+            data, blocks, state, grad, block_diag, lam, mask, options
+        )
+    test_state = retract(state, delta)
+    test_blocks, warm2 = compute_blocks(data, test_state, warm_xy, options)
+
+    old_sum = jnp.asarray(0.0, state.points.dtype)
+    new_sum = jnp.asarray(0.0, state.points.dtype)
+    full_cost = jnp.asarray(0.0, state.points.dtype)
+    new_full_cost = jnp.asarray(0.0, state.points.dtype)
+    for ci, b in enumerate(blocks):
+        tb = test_blocks[ci]
+        joint = b.valid & tb.valid
+        old_sum = old_sum + jnp.sum(jnp.where(joint, b.cost, 0.0))
+        new_sum = new_sum + jnp.sum(jnp.where(joint, tb.cost, 0.0))
+        full_cost = full_cost + jnp.sum(b.cost)
+        new_full_cost = new_full_cost + jnp.sum(tb.cost)
+    accept = new_sum < old_sum
+
+    state = jax.tree_util.tree_map(
+        lambda a, b_: jnp.where(accept, b_, a), state, test_state
+    )
+    blocks = jax.tree_util.tree_map(
+        lambda a, b_: jnp.where(accept, b_, a), blocks, list(test_blocks)
+    )
+    warm = jax.tree_util.tree_map(
+        lambda a, b_: jnp.where(accept, b_, a), warm_xy, warm2
+    )
+    lam = jnp.maximum(
+        jnp.where(accept, 0.5 * lam, 2.0 * lam), options.lambda_min
+    )
+    return (state, warm, lam, accept, full_cost, new_full_cost, pcg_iters,
+            blocks)
+
+
+def _lm_step_two_pass(state, warm_xy, lam, data, options: BAOptions):
+    """One LM iteration, classic two-pass form (blocks + cost-only)."""
     mask = fix_gauge_mask(state, options.freeze)
     blocks, warm1 = compute_blocks(data, state, warm_xy, options)
     grad = apply_jtw(data, blocks, [b.r for b in blocks], state)
@@ -760,33 +839,58 @@ def lm_step(state, warm_xy, lam, data, options: BAOptions):
     return state, warm, lam, accept, full_cost, new_full_cost, pcg_iters
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=64)
+def _cached_lm_step(options: BAOptions):
+    return jax.jit(
+        lambda state, warm, lam, data: lm_step(state, warm, lam, data,
+                                               options)
+    )
+
+
 def make_lm_step(options: BAOptions, jit: bool = True):
-    step = lambda state, warm, lam, data: lm_step(state, warm, lam, data, options)
-    return jax.jit(step) if jit else step
+    """One-step LM callable.  The jitted form is cached per options so
+    repeated optimize() calls (pyramid levels, tests) reuse traces and
+    compiled executables instead of rebuilding a fresh jit wrapper."""
+    if jit:
+        return _cached_lm_step(options)
+    return lambda state, warm, lam, data: lm_step(state, warm, lam, data,
+                                                  options)
 
 
 def make_lm_scan(options: BAOptions, n_steps: int, jit: bool = True):
     """K LM iterations fused into one jitted call via lax.scan.
 
     Amortizes per-dispatch latency (measured ~30 ms per call on the remote
-    TPU runtime) across several iterations.  Returns
+    TPU runtime) across several iterations, and carries the
+    residual/Jacobian block cache between iterations so each one runs a
+    single projection/Jacobian sweep (see lm_step).  Returns
     (state, warm, lam, per-iteration stacked (accept, cost, new_cost,
     pcg_iters))."""
 
     def scanned(state, warm, lam, data):
-        def body(carry, _):
-            state, warm, lam = carry
-            state, warm, lam, accept, cost, new_cost, iters = lm_step(
-                state, warm, lam, data, options
-            )
-            return (state, warm, lam), (accept, cost, new_cost, iters)
+        blocks0, warm = compute_blocks(data, state, warm, options)
 
-        (state, warm, lam), outs = jax.lax.scan(
-            body, (state, warm, lam), None, length=n_steps
+        def body(carry, _):
+            state, warm, lam, blocks = carry
+            (state, warm, lam, accept, cost, new_cost, iters,
+             blocks) = lm_step(state, warm, lam, data, options, blocks)
+            return (state, warm, lam, blocks), (accept, cost, new_cost,
+                                                iters)
+
+        (state, warm, lam, _), outs = jax.lax.scan(
+            body, (state, warm, lam, blocks0), None, length=n_steps
         )
         return state, warm, lam, outs
 
-    return jax.jit(scanned) if jit else scanned
+    return _cached_scan_jit(options, n_steps) if jit else scanned
+
+
+@functools.lru_cache(maxsize=64)
+def _cached_scan_jit(options: BAOptions, n_steps: int):
+    return jax.jit(make_lm_scan(options, n_steps, jit=False))
 
 
 def maybe_grid_layout(data, state: BAState, options: BAOptions):

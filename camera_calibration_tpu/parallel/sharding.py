@@ -56,3 +56,36 @@ def replicate(tree, mesh: Mesh):
     """Replicate a pytree (state, scalars) across the mesh."""
     repl = NamedSharding(mesh, P())
     return jax.device_put(tree, repl)
+
+
+def shard_grid_blocks(state, mesh: Mesh, axis_name: str = "obs"):
+    """Shard spline-grid intrinsics by grid rows across the mesh.
+
+    The second scaling axis of calibration (north star: "partitioning
+    images/observations AND grid blocks across hosts"): each device holds
+    a band of grid-knot rows; the dense one-hot spline contractions and
+    the per-knot preconditioner blocks are then computed on the owning
+    device and GSPMD inserts the collectives.  Worthwhile for very large
+    grids / many cameras; for typical ≤10k-parameter grids replication is
+    usually faster — measure.  Non-grid (parametric) intrinsics are left
+    replicated.
+    """
+    from camera_calibration_tpu.models import protocol
+
+    from camera_calibration_tpu.models.base import replace
+
+    rows = NamedSharding(mesh, P(axis_name, None, None))
+    new_intr = []
+    for m in state.intrinsics:
+        if not protocol.is_grid_model(m):
+            new_intr.append(jax.device_put(m, NamedSharding(mesh, P())))
+            continue
+        updates = {
+            f: jax.device_put(getattr(m, f), rows)
+            for f in ("grid", "direction_grid", "origin_grid")
+            if hasattr(m, f)
+        }
+        new_intr.append(replace(m, **updates))
+    import dataclasses as _dc
+
+    return _dc.replace(state, intrinsics=tuple(new_intr))

@@ -18,3 +18,21 @@ os.environ["XLA_FLAGS"] = (
 )
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Drop compiled executables between test modules.
+
+    The full suite accumulates ~100 XLA:CPU executables; at that volume
+    the jax-0.9.0 CPU backend_compile intermittently aborts (glibc
+    abort inside compilation, reproducible only with the accumulated
+    state — every subset of the suite passes).  Clearing the compilation
+    caches per module bounds the accumulation and costs only the
+    cross-module recompiles (modules share few jitted functions).
+    """
+    jax.clear_caches()
+    yield

@@ -259,6 +259,40 @@ def test_grid_layout_matches_flat():
     assert data_auto[0].grid_shape == (6, 40)
 
 
+def test_scan_carried_blocks_matches_two_pass():
+    """The lax.scan path (block cache carried across iterations, one
+    projection/Jacobian sweep per LM step) must converge like the classic
+    two-pass step-per-call path."""
+    state_gt, obs, segments = ba_harness.make_problem(
+        seed=40, n_points=40, n_poses=8
+    )
+    state0 = ba_harness.perturb_state(state_gt, seed=41)
+    base = dict(max_lm_iterations=12, max_pcg_iterations=30,
+                cost_reduction_threshold=1e-9)
+    out1, info1 = lm_pcg.optimize(
+        state0, obs, segments, lm_pcg.BAOptions(**base)
+    )
+    out4, info4 = lm_pcg.optimize(
+        state0, obs, segments,
+        lm_pcg.BAOptions(lm_steps_per_call=4, **base),
+    )
+    e1 = np.median(
+        np.asarray(ba_harness.reprojection_errors(out1, obs, segments))
+    )
+    e4 = np.median(
+        np.asarray(ba_harness.reprojection_errors(out4, obs, segments))
+    )
+    assert e1 < 1e-3 and e4 < 1e-3, (e1, e4)
+    # the first iteration of both paths solves the identical system
+    np.testing.assert_allclose(
+        info1["history"][0]["cost"], info4["history"][0]["cost"], rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        info1["history"][0]["new_cost"], info4["history"][0]["new_cost"],
+        rtol=1e-4,
+    )
+
+
 def test_verify_cost_guards():
     """Runtime numeric guards (the reference's VerifyCost /
     VerifyAnalyticalJacobian hooks, lm_optimizer.h:415-627)."""

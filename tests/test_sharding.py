@@ -72,6 +72,43 @@ def test_sharded_full_optimize_converges():
     assert np.median(err) < 1e-3, (np.median(err), info["final_cost"])
 
 
+def test_grid_block_sharded_step_matches():
+    """Intrinsics grid rows sharded across the mesh (TP-style grid-block
+    partitioning, the second scaling axis of the north star) must give
+    the same step as replicated intrinsics."""
+    state_gt, obs, segments = ba_harness.make_problem(
+        seed=9, n_points=40, n_poses=8, grid_res=8
+    )
+    state0 = ba_harness.perturb_state(state_gt, seed=10)
+    data = tuple(pad_table(s, 8) for s in split_by_camera(obs, segments))
+    options = lm_pcg.BAOptions(max_pcg_iterations=25)
+    step = lm_pcg.make_lm_step(options)
+    warm = tuple(s.pixel for s in data)
+    lam = jnp.asarray(-1.0, jnp.float64)
+    out_single = step(state0, warm, lam, data)
+
+    mesh = sharding.make_mesh(jax.devices()[:8])
+    data_sh = sharding.shard_observations(data, mesh)
+    state_sh = sharding.replicate(state0, mesh)
+    state_sh = sharding.shard_grid_blocks(state_sh, mesh)
+    assert len(state_sh.intrinsics[0].grid.sharding.device_set) == 8
+    warm_sh = tuple(s.pixel for s in data_sh)
+    lam_sh = sharding.replicate(lam, mesh)
+    out_sh = step(state_sh, warm_sh, lam_sh, data_sh)
+
+    assert abs(float(out_single[4]) - float(out_sh[4])) < 1e-9 * max(
+        1.0, abs(float(out_single[4]))
+    )
+    assert abs(float(out_single[5]) - float(out_sh[5])) < 1e-3 * max(
+        abs(float(out_single[5])), 1e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_single[0].intrinsics[0].grid),
+        np.asarray(out_sh[0].intrinsics[0].grid),
+        atol=1e-6,
+    )
+
+
 def test_sharded_stereo_rig_step_matches():
     """Sharded BA equivalence with a 2-camera rig (uneven per-camera
     tables; extrinsics + two intrinsics grids in the state)."""
