@@ -134,7 +134,30 @@ def _bits_from_cells(cells):
 
 
 def _hamming(a, b):
-    return bin(a ^ b).count("1")
+    return (a ^ b).bit_count()
+
+
+_CODES_ARR = None
+
+
+def _codes_array():
+    """fam.CODES as a (587, 36) uint8 bit matrix for vectorized hamming."""
+    global _CODES_ARR
+    if _CODES_ARR is None:
+        codes = np.asarray(fam.CODES, dtype=np.uint64)
+        shifts = np.arange(fam.NBITS - 1, -1, -1, dtype=np.uint64)
+        _CODES_ARR = ((codes[:, None] >> shifts[None, :]) & 1).astype(np.uint8)
+    return _CODES_ARR
+
+
+def _best_code_match(code: int):
+    """(hamming distance, tag id) of the nearest family code."""
+    bits = np.asarray(
+        [(code >> s) & 1 for s in range(fam.NBITS - 1, -1, -1)], np.uint8
+    )
+    dists = np.count_nonzero(_codes_array() != bits[None, :], axis=1)
+    tid = int(np.argmin(dists))
+    return int(dists[tid]), tid
 
 
 def detect_tags(
@@ -213,10 +236,9 @@ def detect_tags(
             for rot in range(4):
                 cells = np.rot90(data_cells, rot)
                 code = _bits_from_cells(cells)
-                for tid, ref_code in enumerate(fam.CODES):
-                    hd = _hamming(code, ref_code)
-                    if hd <= max_hamming and (best is None or hd < best[0]):
-                        best = (hd, tid, rot)
+                hd, tid = _best_code_match(code)
+                if hd <= max_hamming and (best is None or hd < best[0]):
+                    best = (hd, tid, rot)
             if best is None:
                 continue
             hd, tid, rot = best

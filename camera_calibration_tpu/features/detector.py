@@ -89,6 +89,81 @@ def _apply_h(h, pts):
     return q[..., :2] / q[..., 2:3]
 
 
+def _apply_h_batch(h, pts):
+    """Apply per-row homographies (n,3,3) to per-row points (n,2)."""
+    p = np.concatenate([pts, np.ones_like(pts[..., :1])], -1)
+    q = np.einsum("nij,nj->ni", h, p)
+    w = np.where(np.abs(q[..., 2:3]) > 1e-15, q[..., 2:3], 1e-15)
+    return q[..., :2] / w
+
+
+def _normalized_dlt_batch(src, dst):
+    """Batched host DLT with Hartley normalization.
+
+    src, dst: (n, k, 2).  Returns (h (n, 3, 3), ok (n,) bool) — one
+    batched SVD instead of a Python loop per candidate (the round-1
+    growth loop spent seconds in per-candidate DLTs on large boards).
+    """
+    src = np.asarray(src, np.float64)
+    dst = np.asarray(dst, np.float64)
+    n, k, _ = src.shape
+    cs = src.mean(1, keepdims=True)
+    cd = dst.mean(1, keepdims=True)
+    ss = np.sqrt(2) / np.maximum(
+        np.linalg.norm(src - cs, axis=2).mean(1), 1e-12
+    )
+    sd = np.sqrt(2) / np.maximum(
+        np.linalg.norm(dst - cd, axis=2).mean(1), 1e-12
+    )
+    sn = (src - cs) * ss[:, None, None]
+    dn = (dst - cd) * sd[:, None, None]
+    x, y = sn[..., 0], sn[..., 1]
+    u, v = dn[..., 0], dn[..., 1]
+    zero = np.zeros_like(x)
+    one = np.ones_like(x)
+    row0 = np.stack([x, y, one, zero, zero, zero, -u * x, -u * y, -u], -1)
+    row1 = np.stack([zero, zero, zero, x, y, one, -v * x, -v * y, -v], -1)
+    a = np.concatenate([row0, row1], axis=1)  # (n, 2k, 9)
+    ok = np.isfinite(a).all(axis=(1, 2))
+    a = np.where(ok[:, None, None], a, 0.0)
+    try:
+        _, _, vt = np.linalg.svd(a)
+        hn = vt[:, -1].reshape(n, 3, 3)
+    except np.linalg.LinAlgError:
+        hs, oks = [], []
+        for i in range(n):
+            try:
+                _, _, vti = np.linalg.svd(a[i])
+                hs.append(vti[-1].reshape(3, 3))
+                oks.append(ok[i])
+            except np.linalg.LinAlgError:
+                hs.append(np.eye(3))
+                oks.append(False)
+        hn = np.stack(hs)
+        ok = np.asarray(oks)
+    t_s = np.zeros((n, 3, 3))
+    t_s[:, 0, 0] = ss
+    t_s[:, 1, 1] = ss
+    t_s[:, 0, 2] = -ss * cs[:, 0, 0]
+    t_s[:, 1, 2] = -ss * cs[:, 0, 1]
+    t_s[:, 2, 2] = 1.0
+    t_d_inv = np.zeros((n, 3, 3))
+    t_d_inv[:, 0, 0] = 1.0 / sd
+    t_d_inv[:, 1, 1] = 1.0 / sd
+    t_d_inv[:, 0, 2] = cd[:, 0, 0]
+    t_d_inv[:, 1, 2] = cd[:, 0, 1]
+    t_d_inv[:, 2, 2] = 1.0
+    h = np.einsum("nij,njk,nkl->nil", t_d_inv, hn, t_s)
+    ok = ok & (np.abs(h[:, 2, 2]) > 1e-15) & np.isfinite(h).all(axis=(1, 2))
+    h = np.where(
+        ok[:, None, None], h / np.where(
+            np.abs(h[:, 2:3, 2:3]) > 1e-15, h[:, 2:3, 2:3], 1.0
+        ),
+        np.eye(3)[None],
+    )
+    return h, ok
+
+
 def _normalized_dlt(src, dst):
     """Host DLT with Hartley normalization (for local homographies)."""
     src = np.asarray(src, np.float64)
@@ -242,38 +317,23 @@ class FeatureDetector:
         sv_sym = np.zeros((cap, offs.shape[0]), bool)
         sv_sym[:n] = True
 
-        def device_patches(centers):
-            x0, y0 = pref.patch_origins(image.shape, centers, patch)
-            yx = jnp.asarray(np.stack([y0, x0], -1).astype(np.int32))
-            p = pref.extract_patches_device(image_j, yx, patch)
-            return p, jnp.asarray(np.stack([x0, y0], -1).astype(np.float64))
-
-        patches, origins = device_patches(pred_p)
-        pos1, cost1, ok1 = pref.refine_matching_patches(
-            patches,
-            origins,
+        # one fused device call: extract -> matching -> re-extract ->
+        # symmetry (the growth loop is dispatch-bound on small ring
+        # batches; see patch_refinement.refine_two_stage_patches)
+        packed = np.asarray(pref.refine_two_stage_patches(
+            image_j,
             jnp.asarray(pred_p),
             jnp.asarray(h_p),
             jnp.asarray(samples_p[:, :n_match]),
             jnp.asarray(rendered_p),
             jnp.asarray(sv_match),
-            whs,
-        )
-        pos1 = np.asarray(pos1)
-        # re-extract around the matched positions so the symmetry stage has
-        # full drift budget inside its patches
-        patches, origins = device_patches(pos1)
-        pos2, cost2, ok2 = pref.refine_symmetry_patches(
-            patches,
-            origins,
-            jnp.asarray(pos1),
-            jnp.asarray(h_p),
             jnp.asarray(samples_p),
             jnp.asarray(sv_sym),
             whs,
-        )
-        ok = (np.asarray(ok1) & np.asarray(ok2))[:n] & ok_h
-        return np.asarray(pos2)[:n], np.asarray(cost2)[:n], ok
+            patch,
+        ))[:n]
+        ok = (packed[:, 3] > 0.5) & ok_h
+        return packed[:, 0:2], packed[:, 2], ok
 
     # ------------------------------ detection ------------------------------
 
@@ -370,36 +430,40 @@ class FeatureDetector:
                 if not candidates:
                     continue
                 cand = sorted(candidates)
-                preds, hs, kept = [], [], []
-                for c in cand:
-                    # local homography from nearest detections (cc:1235)
-                    d2 = np.sum((coords_arr - np.asarray(c)) ** 2, axis=1)
-                    k = min(12, len(d2))
-                    nn = np.argpartition(d2, k - 1)[:k]
-                    if len(nn) < 4:
-                        continue
-                    h_loc = _normalized_dlt(coords_arr[nn], pos_arr[nn])
-                    if h_loc is None:
-                        continue
-                    p = _apply_h(h_loc, np.asarray(c, np.float64)[None])[0]
-                    whs = self.opts.window_half_size
-                    if not (
-                        whs < p[0] < w_img - 1 - whs
-                        and whs < p[1] < h_img - 1 - whs
-                    ):
-                        continue
-                    t = np.eye(3)
-                    t[0, 2], t[1, 2] = c
-                    hl = h_loc @ t
-                    hl = hl / hl[2, 2]
-                    hl[0:2, 2] = p
-                    preds.append(p)
-                    hs.append(hl)
-                    kept.append(c)
-                if not preds:
+                # local homographies from the nearest detections (cc:1235),
+                # fully vectorized: one distance matrix, one batched
+                # argpartition, one batched DLT
+                cand_arr = np.asarray(cand, np.float64)
+                k = min(12, coords_arr.shape[0])
+                if k < 4:
                     continue
+                d2 = np.sum(
+                    (cand_arr[:, None, :] - coords_arr[None]) ** 2, axis=2
+                )
+                nn = np.argpartition(d2, k - 1, axis=1)[:, :k]
+                h_loc, ok_h = _normalized_dlt_batch(
+                    coords_arr[nn], pos_arr[nn]
+                )
+                p = _apply_h_batch(h_loc, cand_arr)
+                whs = self.opts.window_half_size
+                inb = (
+                    ok_h
+                    & (p[:, 0] > whs) & (p[:, 0] < w_img - 1 - whs)
+                    & (p[:, 1] > whs) & (p[:, 1] < h_img - 1 - whs)
+                )
+                if not inb.any():
+                    continue
+                idx = np.nonzero(inb)[0]
+                t = np.tile(np.eye(3), (idx.size, 1, 1))
+                t[:, 0, 2] = cand_arr[idx, 0]
+                t[:, 1, 2] = cand_arr[idx, 1]
+                hl = np.einsum("nij,njk->nik", h_loc[idx], t)
+                hl = hl / hl[:, 2:3, 2:3]
+                hl[:, 0:2, 2] = p[idx]
+                preds = p[idx]
+                kept = [cand[i] for i in idx]
                 pos, cost, ok = self._refine_batch(
-                    image, image_j, grad_j, np.stack(preds), np.stack(hs), spec
+                    image, image_j, grad_j, preds, hl, spec
                 )
                 for k, c in enumerate(kept):
                     if ok[k]:

@@ -252,6 +252,60 @@ def refine_symmetry_patches(
     return out_pos, best_cost, converged
 
 
+def _origins_in_jit(image_shape, centers, patch: int):
+    """Traced patch origins (jnp mirror of patch_origins)."""
+    h, w = image_shape
+    half = (patch - 2) // 2
+    c = jnp.nan_to_num(centers)
+    x0 = jnp.clip(jnp.round(c[:, 0]).astype(jnp.int32) - half, 0, w - patch)
+    y0 = jnp.clip(jnp.round(c[:, 1]).astype(jnp.int32) - half, 0, h - patch)
+    return x0, y0
+
+
+@partial(jax.jit, static_argnames=("patch",))
+def refine_two_stage_patches(
+    image,
+    positions,
+    pixel_tr_pattern,
+    samples_match,
+    rendered,
+    sv_match,
+    samples_sym,
+    sv_sym,
+    window_half_size,
+    patch: int,
+):
+    """Both refinement stages + patch extraction fused into ONE device call.
+
+    extract → matching (position + affine intensity) → re-extract around
+    the matched position → 8-DoF symmetry.  The detector growth loop is
+    dispatch-bound (each ring is a small batch; the remote runtime costs
+    ~30 ms per call), so collapsing the former 4-6 calls per ring into
+    one matters more than any kernel-level change.
+    Returns (positions, cost, converged).
+    """
+    dtype = positions.dtype
+    x0, y0 = _origins_in_jit(image.shape, positions, patch)
+    pd = extract_patches_device(image, jnp.stack([y0, x0], -1), patch)
+    org = jnp.stack([x0, y0], -1).astype(dtype)
+    pos1, _c1, ok1 = refine_matching_patches(
+        pd, org, positions, pixel_tr_pattern, samples_match, rendered,
+        sv_match, window_half_size,
+    )
+    x1, y1 = _origins_in_jit(image.shape, pos1, patch)
+    pd2 = extract_patches_device(image, jnp.stack([y1, x1], -1), patch)
+    org2 = jnp.stack([x1, y1], -1).astype(dtype)
+    pos2, cost2, ok2 = refine_symmetry_patches(
+        pd2, org2, pos1, pixel_tr_pattern, samples_sym, sv_sym,
+        window_half_size,
+    )
+    # pack (x, y, cost, ok) into one array: each device->host readback
+    # costs ~45 ms on the remote runtime, so one transfer instead of three
+    return jnp.concatenate(
+        [pos2, cost2[:, None], (ok1 & ok2).astype(dtype)[:, None]], axis=1
+    )
+
+
 @partial(jax.jit, static_argnames=("num_iterations", "search_radius_px"))
 def refine_matching_patches(
     patches,
