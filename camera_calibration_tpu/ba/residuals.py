@@ -325,8 +325,12 @@ def segment_blocks(
 def intr_apply_j(intr, tangent_intr):
     """Intrinsics contribution to J·v: (n, 2)."""
     if isinstance(intr, GridIntr):
+        from camera_calibration_tpu.ba import window_pallas as wp
+
         gh, gw, k = tangent_intr.shape
         n = intr.j_win.shape[-1]
+        if wp.window_pallas_enabled(intr.j_win.dtype):
+            return wp.window_apply_j(intr.j_win, intr.base_xy, tangent_intr)
         oy, ox = _window_onehots(intr.base_xy, gh, gw, intr.j_win.dtype)
         # dense window gather as unrolled 2-D contractions: per window row
         # y, pull the tangent row (one (n,gh)@(gh,gw·k) matmul), then per
@@ -355,8 +359,14 @@ def intr_apply_j(intr, tangent_intr):
 def intr_apply_jtw(intr, ws, tangent_shape_like):
     """Intrinsics part of JᵀW·s, scattered into the tangent layout."""
     if isinstance(intr, GridIntr):
+        from camera_calibration_tpu.ba import window_pallas as wp
+
         gh, gw, k = tangent_shape_like.shape
         n = intr.j_win.shape[-1]
+        if wp.window_pallas_enabled(intr.j_win.dtype):
+            return wp.window_apply_jtw(
+                intr.j_win, intr.base_xy, ws, gh, gw, k
+            )
         oy, ox = _window_onehots(intr.base_xy, gh, gw, intr.j_win.dtype)
         ws0 = ws[:, 0]
         ws1 = ws[:, 1]
