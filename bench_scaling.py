@@ -41,7 +41,7 @@ def main():
         out = step(state_, warm_, lam_, data_)
         jax.block_until_ready(out)
         ts = []
-        for _ in range(3):
+        for _ in range(6):  # min of 6: the shared-core timing is noisy
             t0 = time.perf_counter()
             out = step(state_, warm_, lam_, data_)
             float(out[4])

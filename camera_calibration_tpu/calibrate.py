@@ -41,6 +41,11 @@ class CalibrateOptions:
     # freeze groups ("points", "intrinsics", ...): the reference's
     # --localize_only is freeze=("points", "intrinsics")
     freeze: tuple = ()
+    # LM iterations fused per device call (lax.scan). 1 = reference-parity
+    # per-iteration checkpoint/callback granularity; >1 amortizes the
+    # remote-dispatch latency (~30 ms/call) and coarsens checkpoints to
+    # every k-th accepted iteration.
+    lm_steps_per_call: int = 1
 
 
 def compute_grid_resolution(calib_w, calib_h, approx_pixels_per_cell,
@@ -189,6 +194,7 @@ def run_ba(state, data, max_iterations, cost_reduction_threshold, options,
         huber_px=options.huber_px,
         cost_reduction_threshold=cost_reduction_threshold,
         freeze=tuple(options.freeze),
+        lm_steps_per_call=max(1, int(options.lm_steps_per_call)),
     )
 
     def cb(entry, st):

@@ -172,6 +172,7 @@ def cmd_calibrate(args):
             outlier_removal_factor=args.outlier_removal_factor,
             final_iterations=args.final_iterations,
             freeze=("points", "intrinsics") if args.localize_only else (),
+            lm_steps_per_call=args.lm_steps_per_call,
         )
         if len(used) < state.rig_q_global.shape[0]:
             used = list(used) + [True] * (
@@ -241,6 +242,7 @@ def cmd_calibrate(args):
         outlier_removal_factor=args.outlier_removal_factor,
         final_iterations=args.final_iterations,
         freeze=("points", "intrinsics") if args.localize_only else (),
+        lm_steps_per_call=args.lm_steps_per_call,
     )
     state, data, rep = cal.calibrate(
         state,
@@ -1113,6 +1115,10 @@ def main(argv=None):
     p.add_argument("--approx_pixels_per_cell", type=int, default=25)
     p.add_argument("--outlier_removal_factor", type=float, default=8.0)
     p.add_argument("--final_iterations", type=int, default=100)
+    p.add_argument(
+        "--lm_steps_per_call", type=int, default=1,
+        help="LM iterations fused per device call (lax.scan); >1 amortizes remote-dispatch latency, checkpoints every k-th iteration",
+    )
     p.add_argument("--dtype", default="float64",
                    choices=["float32", "float64"])
     p.add_argument("--report", action="store_true")
