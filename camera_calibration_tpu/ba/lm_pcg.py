@@ -64,6 +64,11 @@ class BAOptions:
     #   "schur_poses" eliminate the 6×6 imageset pose blocks, PCG on the
     #                 reduced points+cam+intrinsics system (block=6 pose
     #                 elimination — the reference default);
+    #   "schur_direct"        block=6 pose elimination + DENSE direct
+    #                 (Cholesky) solve of the explicitly assembled reduced
+    #                 system — the reference's SchurMode::Dense
+    #                 (lm_optimizer.h:1246-1369); memory ∝ reduced dim²;
+    #   "schur_direct_points" same with block=3 point elimination;
     #   "pcg"         PCG on the full system (no elimination).
     solver: str = "schur"
     # Inexact-Newton forcing: stop CG when the residual drops below this
@@ -103,6 +108,32 @@ class BAOptions:
     # (irreducible) per-observation block cache.  Must divide the padded
     # table size.  None = single fused evaluation.
     block_chunk: int | None = None
+    # When set, optimize() runs under jax.profiler.trace(profile_dir) so
+    # the whole LM run can be inspected in TensorBoard/XProf — the
+    # framework's analog of the reference's scoped Timer registry
+    # (libvis/timing.h:47).
+    profile_dir: str | None = None
+
+
+@dataclasses.dataclass
+class OptimizationReport:
+    """Per-run solver metrics (the reference's OptimizationReport,
+    lm_optimizer.h:40-77, which records cost/Jacobian vs solve seconds
+    per LM run — here per-call wall clock on the driving host, split
+    into first-call (trace+compile) and steady-state step time)."""
+
+    iterations: int = 0
+    accepted: int = 0
+    rejected: int = 0
+    initial_cost: float = float("nan")
+    final_cost: float = float("nan")
+    pcg_iterations_total: int = 0
+    first_call_seconds: float = 0.0  # includes trace+compile
+    step_seconds: float = 0.0  # steady-state device steps after the first
+    total_seconds: float = 0.0
+
+    def as_dict(self):
+        return dataclasses.asdict(self)
 
 
 def _grid_mp(seg, m=None, p=None):
@@ -632,6 +663,214 @@ def schur_pcg_solve(data, blocks, state, grad, block_diag, lam, mask, options,
     return _masked(x, mask), iters
 
 
+def _flat_offsets(state):
+    """Flat-vector offsets of each tangent group, in ravel_pytree order.
+
+    Returns ({key: (offset, size, shape)}, total) where key is 'rig',
+    'cam', 'points', or ('intr', camera_index).
+    """
+    zt = zero_tangent(state)
+    leaves = jax.tree_util.tree_flatten_with_path(zt)[0]
+    offsets = {}
+    off = 0
+    for path, leaf in leaves:
+        names = []
+        for k in path:
+            if hasattr(k, "name"):
+                names.append(k.name)
+            elif hasattr(k, "idx"):
+                names.append(k.idx)
+            elif hasattr(k, "key"):
+                names.append(k.key)
+        key = names[0] if len(names) == 1 else tuple(names)
+        offsets[key] = (off, int(leaf.size), tuple(leaf.shape))
+        off += int(leaf.size)
+    return offsets, off
+
+
+def _dense_intr_j(bi, gh, gw, k):
+    """Materialize the per-observation dense intrinsics Jacobian (n, 2, G)
+    with G = gh·gw·k from the sparse 4×4-window form.
+
+    This is the dense-H analog of the reference's explicit off-diagonal
+    storage (lm_optimizer_update_accumulator.h routes each JᵀJ
+    contribution into a dense H); only the schur_direct solver pays this
+    footprint (n·2·G floats).
+    """
+    if isinstance(bi, res.DenseIntr):
+        return bi.j_params
+    n = bi.base_xy.shape[0]
+    oy, ox = res._window_onehots(bi.base_xy, gh, gw, bi.j_win.dtype)
+    out = jnp.zeros((n, 2, gh, gw, k), bi.j_win.dtype)
+    for y in range(4):
+        for x in range(4):
+            for i in range(2):
+                lo = i * 16 * k + (y * 4 + x) * k
+                rows = bi.j_win[lo:lo + k]  # (k, n)
+                term = jnp.einsum("kn,nh,nw->nhwk", rows, oy[y], ox[x])
+                out = out.at[:, i].add(term)
+    return out.reshape(n, 2, gh * gw * k)
+
+
+def schur_direct_solve(data, blocks, state, grad, block_diag, lam, mask,
+                       options, eliminate: str = "poses"):
+    """Solve (JᵀWJ + λI) δ = −grad by block elimination + a DENSE direct
+    solve of the reduced system — the reference's SchurMode::Dense
+    (SolveWithSchurComplementDenseOffDiag, lm_optimizer.h:1246-1369):
+    per-block D⁻¹, explicit BᵀD⁻¹B GEMM (MXU), Cholesky-factored reduced
+    solve, back-substitution.
+
+    eliminate="poses" reduces onto [cam, points, intrinsics] (the
+    reference default block=6 path, joint_optimization.cc:796-804);
+    eliminate="points" reduces onto [poses, cam, intrinsics] (block=3).
+
+    Requires grid-layout tables (the dense cross-blocks are assembled as
+    (M, P)-shaped einsums); memory scales with the square of the reduced
+    dimension — use the PCG modes for very large problems, exactly as the
+    reference trades its dense mode against sparse/on-the-fly modes
+    (Readme.md:330-352).
+    """
+    rig_b, cam_b, pts_b, intr_b = block_diag
+    dtype = state.points.dtype
+    offs, f_dim = _flat_offsets(state)
+    m_n = state.rig_q_global.shape[0]
+    p_n = state.points.shape[0]
+    rig_off = offs["rig"][0]
+    cam_off = offs["cam"][0]
+    pt_off = offs["points"][0]
+
+    if eliminate == "poses":
+        elim_b, k_el, n_el, elim_off = rig_b, 6, m_n, rig_off
+    else:
+        elim_b, k_el, n_el, elim_off = pts_b, 3, p_n, pt_off
+    d_inv = jnp.linalg.inv(elim_b + lam * jnp.eye(k_el, dtype=dtype))
+
+    h = jnp.zeros((f_dim, f_dim), dtype)
+    c_mat = jnp.zeros((n_el, f_dim, k_el), dtype)
+
+    def add_sym(h, r0, rn, c0, cn, blk):
+        """Add a cross block and its transpose at static offsets."""
+        h = h.at[r0:r0 + rn, c0:c0 + cn].add(blk)
+        h = h.at[c0:c0 + cn, r0:r0 + rn].add(blk.T)
+        return h
+
+    # Within-group diagonal blocks of the kept variables.
+    if eliminate == "poses":
+        hpp = jnp.zeros((p_n, 3, p_n, 3), dtype)
+        idx = jnp.arange(p_n)
+        hpp = hpp.at[idx, :, idx, :].set(pts_b)
+        h = h.at[pt_off:pt_off + 3 * p_n, pt_off:pt_off + 3 * p_n].add(
+            hpp.reshape(3 * p_n, 3 * p_n)
+        )
+    else:
+        hrr = jnp.zeros((m_n, 6, m_n, 6), dtype)
+        idx = jnp.arange(m_n)
+        hrr = hrr.at[idx, :, idx, :].set(rig_b)
+        h = h.at[rig_off:rig_off + 6 * m_n, rig_off:rig_off + 6 * m_n].add(
+            hrr.reshape(6 * m_n, 6 * m_n)
+        )
+    for ci in range(cam_b.shape[0]):
+        h = h.at[cam_off + 6 * ci:cam_off + 6 * ci + 6,
+                 cam_off + 6 * ci:cam_off + 6 * ci + 6].add(cam_b[ci])
+
+    for ci, seg in enumerate(data):
+        gs = _valid_grid_shape(seg, state)
+        if gs is None:
+            raise ValueError(
+                "schur_direct requires grid-layout observation tables "
+                "(options.table_layout='auto' on calibration-shaped "
+                "problems); use the PCG solver modes otherwise"
+            )
+        mm, pp = gs
+        b = blocks[ci]
+        w = b.weight.reshape(mm, pp)
+        jr = b.j_rig.reshape(mm, pp, 2, 6)
+        jc = b.j_cam.reshape(mm, pp, 2, 6)
+        jp = b.j_point.reshape(mm, pp, 2, 3)
+        i_off, i_size, i_shape = offs[("intr", ci)]
+        if isinstance(b.intr, res.GridIntr):
+            gh, gw, kt = i_shape
+            jd = _dense_intr_j(b.intr, gh, gw, kt).reshape(mm, pp, 2, i_size)
+        else:
+            jd = b.intr.j_params.reshape(mm, pp, 2, i_size)
+        co = cam_off + 6 * ci
+
+        # Kept-variable blocks (intrinsics dense; cross-group off-diags).
+        h_ii = jnp.einsum("mpig,mpih,mp->gh", jd, jd, w)
+        h = h.at[i_off:i_off + i_size, i_off:i_off + i_size].add(h_ii)
+        h_ci = jnp.einsum("mpia,mpig,mp->ag", jc, jd, w)
+        h = add_sym(h, co, 6, i_off, i_size, h_ci)
+        if eliminate == "poses":
+            h_pi = jnp.einsum("mpia,mpig,mp->pag", jp, jd, w)
+            h = add_sym(h, pt_off, 3 * p_n, i_off, i_size,
+                        h_pi.reshape(3 * pp, i_size))
+            h_cp = jnp.einsum("mpia,mpib,mp->pab", jc, jp, w)
+            h = add_sym(h, co, 6, pt_off, 3 * p_n,
+                        h_cp.transpose(1, 0, 2).reshape(6, 3 * pp))
+            # Elimination cross blocks B = H_keep,pose(m).
+            c_pt = jnp.einsum("mpia,mpib,mp->mpab", jp, jr, w)
+            c_mat = c_mat.at[:, pt_off:pt_off + 3 * p_n, :].add(
+                c_pt.reshape(mm, 3 * pp, 6)
+            )
+            c_cam = jnp.einsum("mpia,mpib,mp->mab", jc, jr, w)
+            c_mat = c_mat.at[:, co:co + 6, :].add(c_cam)
+            c_intr = jnp.einsum("mpig,mpib,mp->mgb", jd, jr, w)
+            c_mat = c_mat.at[:, i_off:i_off + i_size, :].add(c_intr)
+        else:
+            h_ri = jnp.einsum("mpia,mpig,mp->mag", jr, jd, w)
+            h = add_sym(h, rig_off, 6 * m_n, i_off, i_size,
+                        h_ri.reshape(6 * mm, i_size))
+            h_rc = jnp.einsum("mpia,mpib,mp->mab", jr, jc, w)
+            h = add_sym(h, rig_off, 6 * m_n, co, 6,
+                        h_rc.reshape(6 * mm, 6))
+            # Elimination cross blocks B = H_keep,point(p).
+            c_rig = jnp.einsum("mpia,mpib,mp->pmab", jr, jp, w)
+            c_mat = c_mat.at[:, rig_off:rig_off + 6 * m_n, :].add(
+                c_rig.reshape(pp, 6 * mm, 3)
+            )
+            c_cam = jnp.einsum("mpia,mpib,mp->pab", jc, jp, w)
+            c_mat = c_mat.at[:, co:co + 6, :].add(c_cam)
+            c_intr = jnp.einsum("mpig,mpib,mp->pgb", jd, jp, w)
+            c_mat = c_mat.at[:, i_off:i_off + i_size, :].add(c_intr)
+
+    # Schur complement S = H_keep − B D⁻¹ Bᵀ (BᵀD⁻¹B on the MXU — the
+    # role of the reference's cuBLASXt offload, lm_optimizer.h:1371-1430).
+    cd = jnp.einsum("eFa,eab->eFb", c_mat, d_inv)
+    h = h - jnp.einsum("eFb,eGb->FG", cd, c_mat)
+
+    from jax.flatten_util import ravel_pytree
+
+    mask_flat, unravel = ravel_pytree(mask)
+    keep_flat = mask_flat.at[elim_off:elim_off + k_el * n_el].set(0.0)
+    g_flat = ravel_pytree(grad)[0]
+    g_e = (
+        grad.rig if eliminate == "poses" else grad.points
+    )
+
+    # Reduced RHS: −g_keep + B D⁻¹ g_elim.
+    y_e = jnp.einsum("eab,eb->ea", d_inv, g_e)
+    b_vec = (-g_flat + jnp.einsum("eFa,ea->F", c_mat, y_e)) * keep_flat
+
+    # λ damping + dead rows (eliminated group, gauge/freeze mask) pinned
+    # to the identity so the factorization stays PD.
+    h = h * keep_flat[:, None] * keep_flat[None, :]
+    diag = jnp.diagonal(h) + lam * keep_flat + (1.0 - keep_flat)
+    h = h.at[jnp.arange(f_dim), jnp.arange(f_dim)].set(diag)
+    x_flat = jax.scipy.linalg.cho_solve(
+        jax.scipy.linalg.cho_factor(h, lower=True), b_vec
+    ) * keep_flat
+
+    # Back-substitution: δ_e = D⁻¹ (−g_e − Bᵀ δ_keep).
+    bt_x = jnp.einsum("eFa,F->ea", c_mat, x_flat)
+    delta_e = jnp.einsum("eab,eb->ea", d_inv, -g_e - bt_x)
+    x = unravel(x_flat)
+    if eliminate == "poses":
+        x = BATangent(rig=delta_e, cam=x.cam, points=x.points, intr=x.intr)
+    else:
+        x = BATangent(rig=x.rig, cam=x.cam, points=delta_e, intr=x.intr)
+    return _masked(x, mask), jnp.int32(0)
+
+
 def pcg_solve(data, blocks, state, grad, block_diag, lam, mask, options):
     """Solve (JᵀWJ + λI) δ = −grad with block-Jacobi preconditioning."""
     from jax.flatten_util import ravel_pytree
@@ -740,6 +979,17 @@ def lm_step(state, warm_xy, lam, data, options: BAOptions, blocks=None):
             data, blocks, state, grad, block_diag, lam, mask, options,
             eliminate="poses",
         )
+    elif options.solver == "schur_direct" and "poses" not in options.freeze:
+        delta, pcg_iters = schur_direct_solve(
+            data, blocks, state, grad, block_diag, lam, mask, options,
+            eliminate="poses",
+        )
+    elif (options.solver == "schur_direct_points"
+          and "points" not in options.freeze):
+        delta, pcg_iters = schur_direct_solve(
+            data, blocks, state, grad, block_diag, lam, mask, options,
+            eliminate="points",
+        )
     else:
         delta, pcg_iters = pcg_solve(
             data, blocks, state, grad, block_diag, lam, mask, options
@@ -809,6 +1059,17 @@ def _lm_step_two_pass(state, warm_xy, lam, data, options: BAOptions):
         delta, pcg_iters = schur_pcg_solve(
             data, blocks, state, grad, block_diag, lam, mask, options,
             eliminate="poses",
+        )
+    elif options.solver == "schur_direct" and "poses" not in options.freeze:
+        delta, pcg_iters = schur_direct_solve(
+            data, blocks, state, grad, block_diag, lam, mask, options,
+            eliminate="poses",
+        )
+    elif (options.solver == "schur_direct_points"
+          and "points" not in options.freeze):
+        delta, pcg_iters = schur_direct_solve(
+            data, blocks, state, grad, block_diag, lam, mask, options,
+            eliminate="points",
         )
     else:
         delta, pcg_iters = pcg_solve(
@@ -935,6 +1196,9 @@ def optimize(
     """
     from camera_calibration_tpu.ba.dataset import split_by_camera
 
+    import contextlib
+    import time
+
     if data is None:
         data = split_by_camera(obs, segments)
         data = maybe_grid_layout(data, state, options)
@@ -952,54 +1216,82 @@ def optimize(
     final_cost = None
     it = 0
     stop = False
-    while it < options.max_lm_iterations and not stop:
-        if k > 1:
-            state, warm, lam, outs = scan_step(state, warm, lam, data)
-            accepts, costs, new_costs, pcg_its = (
-                np.asarray(outs[0]), np.asarray(outs[1]),
-                np.asarray(outs[2]), np.asarray(outs[3]),
-            )
-            entries = [
-                (bool(accepts[i]), float(costs[i]), float(new_costs[i]),
-                 int(pcg_its[i]))
-                for i in range(k)
-            ]
-        else:
-            state, warm, lam, accept, cost, new_cost, pcg_iters = step(
-                state, warm, lam, data
-            )
-            entries = [(bool(accept), float(cost), float(new_cost),
-                        int(pcg_iters))]
-        for accept, cost, new_cost, pcg_iters in entries:
-            if it >= options.max_lm_iterations:
-                break
-            history.append(
-                {
-                    "iteration": it,
-                    "cost": cost,
-                    "new_cost": new_cost,
-                    "accepted": accept,
-                    "lambda": float(lam),
-                    "pcg_iterations": pcg_iters,
-                }
-            )
-            if callback is not None:
-                callback(history[-1], state)
-            it += 1
-            if accept:
-                rejects = 0
-                rel = (cost - new_cost) / max(cost, 1e-30)
-                final_cost = new_cost
-                if rel < options.cost_reduction_threshold:
-                    stop = True
-                    break
+    report = OptimizationReport()
+    t_run0 = time.perf_counter()
+    profile_ctx = (
+        jax.profiler.trace(options.profile_dir)
+        if options.profile_dir
+        else contextlib.nullcontext()
+    )
+    with profile_ctx:
+        while it < options.max_lm_iterations and not stop:
+            t0 = time.perf_counter()
+            if k > 1:
+                state, warm, lam, outs = scan_step(state, warm, lam, data)
+                accepts, costs, new_costs, pcg_its = (
+                    np.asarray(outs[0]), np.asarray(outs[1]),
+                    np.asarray(outs[2]), np.asarray(outs[3]),
+                )
+                entries = [
+                    (bool(accepts[i]), float(costs[i]), float(new_costs[i]),
+                     int(pcg_its[i]))
+                    for i in range(k)
+                ]
             else:
-                rejects += 1
-                final_cost = cost
-                if rejects >= options.max_consecutive_rejects:
-                    stop = True
+                state, warm, lam, accept, cost, new_cost, pcg_iters = step(
+                    state, warm, lam, data
+                )
+                entries = [(bool(accept), float(cost), float(new_cost),
+                            int(pcg_iters))]
+            dt = time.perf_counter() - t0  # np/float conversions synced
+            if report.iterations == 0:
+                report.first_call_seconds = dt
+            else:
+                report.step_seconds += dt
+            for accept, cost, new_cost, pcg_iters in entries:
+                if it >= options.max_lm_iterations:
                     break
-    return state, {"history": history, "final_cost": final_cost}
+                history.append(
+                    {
+                        "iteration": it,
+                        "cost": cost,
+                        "new_cost": new_cost,
+                        "accepted": accept,
+                        "lambda": float(lam),
+                        "pcg_iterations": pcg_iters,
+                    }
+                )
+                if callback is not None:
+                    callback(history[-1], state)
+                it += 1
+                report.iterations = it
+                report.pcg_iterations_total += pcg_iters
+                if np.isnan(report.initial_cost):
+                    report.initial_cost = cost
+                if accept:
+                    report.accepted += 1
+                    rejects = 0
+                    rel = (cost - new_cost) / max(cost, 1e-30)
+                    final_cost = new_cost
+                    if rel < options.cost_reduction_threshold:
+                        stop = True
+                        break
+                else:
+                    report.rejected += 1
+                    rejects += 1
+                    final_cost = cost
+                    if rejects >= options.max_consecutive_rejects:
+                        stop = True
+                        break
+    report.final_cost = (
+        float(final_cost) if final_cost is not None else float("nan")
+    )
+    report.total_seconds = time.perf_counter() - t_run0
+    return state, {
+        "history": history,
+        "final_cost": final_cost,
+        "report": report,
+    }
 
 
 def verify_cost(state, data, options: BAOptions, seed: int = 0):

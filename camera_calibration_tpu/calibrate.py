@@ -308,6 +308,18 @@ def calibrate(
     state, info = run_ba(state, data, options.final_iterations, 1e-4, options,
                          state_saver=state_saver)
     report["final_cost"] = info["final_cost"]
+    solver_report = info.get("report")
+    if solver_report is not None:
+        report["solver"] = solver_report.as_dict()
+        log(
+            "[calibrate] final BA: "
+            f"{solver_report.iterations} iters "
+            f"({solver_report.accepted} accepted), "
+            f"cost {solver_report.initial_cost:.4g} -> "
+            f"{solver_report.final_cost:.4g}, "
+            f"{solver_report.step_seconds:.2f}s steps "
+            f"+ {solver_report.first_call_seconds:.2f}s first call"
+        )
 
     # reference skips metric scaling in localize-only mode
     # (calibration.cc:1136-1139)

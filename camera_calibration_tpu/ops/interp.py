@@ -8,7 +8,6 @@ the center of the top-left pixel, valid sample domain [0, W−1]×[0, H−1].
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 
@@ -68,63 +67,6 @@ def bilinear_with_jacobian(image, xy):
     dy = bot - top
     grad = jnp.stack([dx, dy], axis=-1)
     return value, grad
-
-
-def extract_patches(image, centers, patch_half: int):
-    """Extract square patches around integer centers.
-
-    image (H, W); centers (N, 2) float pixel-center coords.
-    Returns (patches (N, P, P), origins (N, 2) float) with
-    P = 2·patch_half + 2 (one extra row/col so bilinear sampling up to
-    +patch_half stays in range).  Centers are clamped so patches stay
-    inside the image.
-    """
-    h, w = image.shape
-    p = 2 * patch_half + 2
-    cx = jnp.clip(jnp.round(centers[..., 0]).astype(jnp.int32) - patch_half,
-                  0, w - p)
-    cy = jnp.clip(jnp.round(centers[..., 1]).astype(jnp.int32) - patch_half,
-                  0, h - p)
-
-    def one(y0, x0):
-        return jax.lax.dynamic_slice(image, (y0, x0), (p, p))
-
-    patches = jax.vmap(one)(cy, cx)
-    origins = jnp.stack([cx, cy], axis=-1).astype(image.dtype)
-    return patches, origins
-
-
-def bilinear_patches(patches, xy):
-    """Bilinear sampling of per-item patches.
-
-    patches (N, P, P); xy (N, S, 2) in patch-local pixel-center coords.
-    Returns (value (N, S), grad (N, S, 2), valid (N, S)).
-    """
-    n, p, _ = patches.shape
-    x = xy[..., 0]
-    y = xy[..., 1]
-    valid = (x >= 0) & (x <= p - 1.001) & (y >= 0) & (y <= p - 1.001)
-    xc = jnp.clip(x, 0.0, p - 1.001)
-    yc = jnp.clip(y, 0.0, p - 1.001)
-    x0 = jnp.clip(jnp.floor(xc).astype(jnp.int32), 0, p - 2)
-    y0 = jnp.clip(jnp.floor(yc).astype(jnp.int32), 0, p - 2)
-    tx = xc - x0
-    ty = yc - y0
-    flat = patches.reshape(n, p * p)
-
-    def take(iy, ix):
-        return jnp.take_along_axis(flat, iy * p + ix, axis=1)
-
-    v00 = take(y0, x0)
-    v10 = take(y0, x0 + 1)
-    v01 = take(y0 + 1, x0)
-    v11 = take(y0 + 1, x0 + 1)
-    top = v00 + tx * (v10 - v00)
-    bot = v01 + tx * (v11 - v01)
-    val = top + ty * (bot - top)
-    dx = (v10 - v00) + ty * ((v11 - v01) - (v10 - v00))
-    dy = bot - top
-    return val, jnp.stack([dx, dy], axis=-1), valid
 
 
 def in_bounds(image_shape, xy, margin: float = 0.0):

@@ -10,9 +10,12 @@ import ba_harness
 from camera_calibration_tpu.ba import lm_pcg
 
 
-@pytest.mark.parametrize("solver", ["schur", "schur_poses", "pcg"])
+@pytest.mark.parametrize(
+    "solver",
+    ["schur", "schur_poses", "pcg", "schur_direct", "schur_direct_points"],
+)
 def test_solver_modes_reconverge(solver):
-    """All Schur/PCG solver modes reach the same optimum.
+    """All Schur/PCG/direct solver modes reach the same optimum.
 
     (reference analog: TestOptimizeJointly over all SchurModes,
     central_generic_test.cc:60-89)
@@ -28,6 +31,56 @@ def test_solver_modes_reconverge(solver):
     state, info = lm_pcg.optimize(state0, obs, segments, options)
     err = np.asarray(ba_harness.reprojection_errors(state, obs, segments))
     assert np.median(err) < 1e-3, (solver, np.median(err))
+    report = info["report"]
+    assert report.iterations == len(info["history"])
+    assert report.accepted + report.rejected == report.iterations
+    assert report.total_seconds > 0
+
+
+def test_schur_direct_matches_tight_pcg():
+    """The dense direct reduced solve equals an (almost-)exact PCG solve
+    of the same damped normal equations (reference analog: the libvis
+    Schur solvers are verified against a dense solve,
+    libvis/src/libvis/test/lm_optimizer.cc:370,553)."""
+    import jax
+    import jax.numpy as jnp
+
+    from camera_calibration_tpu.ba.dataset import split_by_camera
+    from camera_calibration_tpu.ba.state import fix_gauge_mask, zero_tangent
+
+    state_gt, obs, segments = ba_harness.make_problem(
+        seed=21, n_points=40, n_poses=8, n_cameras=2
+    )
+    state = ba_harness.perturb_state(state_gt, seed=22)
+    options = lm_pcg.BAOptions(max_pcg_iterations=4000,
+                               pcg_rel_tolerance=1e-10)
+    data = split_by_camera(obs, segments)
+    data = lm_pcg.maybe_grid_layout(data, state, options)
+    warm = tuple(seg.pixel for seg in data)
+    blocks, _ = jax.jit(
+        lambda s, w: lm_pcg.compute_blocks(data, s, w, options)
+    )(state, warm)
+    mask = fix_gauge_mask(state, ())
+    grad = lm_pcg.apply_jtw(data, blocks, [b.r for b in blocks], state)
+    grad = jax.tree_util.tree_map(lambda t, m: t * m, grad, mask)
+    bd = lm_pcg.jtwj_block_diag(data, blocks, state)
+    lam = jnp.asarray(1e-2, state.points.dtype)
+
+    ref, _ = lm_pcg.pcg_solve(data, blocks, state, grad, bd, lam, mask,
+                              options)
+    for elim in ("poses", "points"):
+        direct, n_iters = lm_pcg.schur_direct_solve(
+            data, blocks, state, grad, bd, lam, mask, options,
+            eliminate=elim,
+        )
+        assert int(n_iters) == 0
+        for a, b in zip(
+            jax.tree_util.tree_leaves(ref),
+            jax.tree_util.tree_leaves(direct),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-5,
+            )
 
 
 def test_mono_ba_reconverges():

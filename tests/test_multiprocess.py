@@ -90,6 +90,11 @@ def test_two_process_cpu_mesh(tmp_path):
     coord = f"127.0.0.1:{port}"
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
+    # the workers import the package regardless of the pytest cwd
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = os.pathsep.join(
+        [repo_root] + ([env["PYTHONPATH"]] if env.get("PYTHONPATH") else [])
+    )
     procs = [
         subprocess.Popen(
             [sys.executable, str(worker), str(i), coord],
