@@ -218,6 +218,7 @@ def calibrate(
     log=print,
     state_output_path=None,
     image_used=None,
+    visualizer=None,
 ):
     """state_output_path: if set, the BA state is checkpointed there after
     every accepted LM iteration (reference: calibration.cc:242-245) so a
@@ -227,8 +228,22 @@ def calibrate(
     state.intrinsics must already be at the *coarsest* pyramid resolution
     (use init_state_for_pyramid); data = per-camera observation tables.
     Returns (state, report dict).
+
+    visualizer: optional ui.calibration_visualizer.CalibrationVisualizer;
+    its per-stage hooks are invoked as the pipeline progresses, mirroring
+    how the reference's Calibrate() drives its CalibrationWindow after
+    each BA iteration (calibration.cc:256-290).
     """
     report = {"pyramid": [], "outliers_removed": 0, "scale_factor": 1.0}
+
+    vis_callback = None
+    if visualizer is not None:
+        # closes over ``data``, which is rebound after outlier removal
+        def vis_callback(entry, st):
+            if entry["accepted"]:
+                visualizer.update_reprojection_errors(
+                    st, data, iteration=entry["iteration"]
+                )
 
     state_saver = None
     if state_output_path is not None and feature_id_to_point_index is not None:
@@ -268,11 +283,11 @@ def calibrate(
         log(f"[calibrate] pyramid level {level}")
         state, info1 = run_ba(
             state, data, options.pyramid_iterations[0], 1e-4, options,
-            state_saver=state_saver,
+            callback=vis_callback, state_saver=state_saver,
         )
         state, info2 = run_ba(
             state, data, options.pyramid_iterations[1], 1.0, options,
-            state_saver=state_saver,
+            callback=vis_callback, state_saver=state_saver,
         )
         report["pyramid"].append(
             {"level": level, "cost": info2["final_cost"] or info1["final_cost"]}
@@ -298,15 +313,17 @@ def calibrate(
             else options.pyramid_iterations[0]
         )
         state, _ = run_ba(state, data, iters, 1e-4, options,
-                          state_saver=state_saver)
+                          callback=vis_callback, state_saver=state_saver)
         data, removed = delete_outlier_features(
             state, data, options.outlier_removal_factor
         )
         report["outliers_removed"] = removed
         log(f"[calibrate] removed {removed} outlier observations")
+        if visualizer is not None:
+            visualizer.update_removed_outliers(state, data, removed)
 
     state, info = run_ba(state, data, options.final_iterations, 1e-4, options,
-                         state_saver=state_saver)
+                         callback=vis_callback, state_saver=state_saver)
     report["final_cost"] = info["final_cost"]
     solver_report = info.get("report")
     if solver_report is not None:
@@ -330,6 +347,12 @@ def calibrate(
         )
         report["scale_factor"] = factor
         log(f"[calibrate] metric scale factor {factor:.6f}")
+
+    if visualizer is not None:
+        visualizer.update_error_histogram(state, data)
+        visualizer.update_error_directions(state, data)
+        for ci, m in enumerate(state.intrinsics):
+            visualizer.update_observation_directions(ci, m)
 
     errs = observation_reprojection_errors(state, data)
     all_err = np.concatenate([np.asarray(e) for e in errs])

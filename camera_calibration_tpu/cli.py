@@ -31,7 +31,8 @@ def _load_gray(path):
     return img
 
 
-def _detect_dataset(image_dirs, pattern_files, options, log=print):
+def _detect_dataset(image_dirs, pattern_files, options, log=print,
+                    visualizer=None):
     """Run the feature detector over image directories -> Dataset."""
     import numpy as np
 
@@ -68,6 +69,8 @@ def _detect_dataset(image_dirs, pattern_files, options, log=print):
                 f"[detect] camera {ci} image {si}: {len(features)} features"
                 f" ({os.path.basename(per_cam_files[ci][si])})"
             )
+            if visualizer is not None:
+                visualizer.update_feature_detection(ci, img, features)
             feats_per_cam.append(features)
             names.append(os.path.basename(per_cam_files[ci][si]))
         imagesets.append(Imageset(features=feats_per_cam, filenames=names))
@@ -108,6 +111,14 @@ def cmd_calibrate(args):
 
     dtype = jnp.float64 if args.dtype == "float64" else jnp.float32
 
+    visualizer = None
+    if getattr(args, "live_directory", None):
+        from camera_calibration_tpu.ui.calibration_visualizer import (
+            CalibrationVisualizer,
+        )
+
+        visualizer = CalibrationVisualizer(args.live_directory)
+
     # 1. dataset
     if args.dataset_files:
         dataset = dataset_bin.load_dataset(args.dataset_files)
@@ -119,6 +130,7 @@ def cmd_calibrate(args):
             args.image_directories.split(","),
             args.pattern_files.split(","),
             args,
+            visualizer=visualizer,
         )
         os.makedirs(args.output_directory, exist_ok=True)
         dataset_bin.save_dataset(
@@ -184,6 +196,7 @@ def cmd_calibrate(args):
             feature_id_to_point_index=fid_to_idx,
             state_output_path=os.path.join(args.output_directory, "state"),
             image_used=used,
+            visualizer=visualizer,
         )
         print("[calibrate] report:", {
             k: v for k, v in rep.items() if not isinstance(v, list)
@@ -222,6 +235,9 @@ def cmd_calibrate(args):
             f"[init] camera {ci}: {sum(res.image_used)}/"
             f"{len(dataset.imagesets)} imagesets localized"
         )
+        if visualizer is not None and hasattr(res, "observation_directions"):
+            dirs, valid = res.observation_directions()
+            visualizer.update_initialization(ci, dirs, valid)
         results.append(res)
 
     # 3. initial BA state at the coarsest pyramid resolution
@@ -252,6 +268,7 @@ def cmd_calibrate(args):
         feature_id_to_point_index=fid_to_idx,
         state_output_path=os.path.join(args.output_directory, "state"),
         image_used=image_used,
+        visualizer=visualizer,
     )
     print("[calibrate] report:", {
         k: v for k, v in rep.items() if not isinstance(v, list)
@@ -294,6 +311,69 @@ def cmd_extract_features(args):
         for f in s.features
     )
     print(f"saved {args.output}: {len(dataset.imagesets)} imagesets, {n} features")
+    return 0
+
+
+def cmd_record(args):
+    """Live capture: camera/video/directory inputs -> detection -> dataset.
+
+    The headless replacement for the reference's live-capture GUI mode
+    (reference: main.cc:487-600 live bootstrap + ui/live_image_consumer.cc):
+    frames stream from the inputs, features are detected live, imagesets
+    with detections accumulate into a dataset.bin, images are optionally
+    recorded, and per-camera detection-coverage PNGs give the operator
+    feedback on which image regions still need views.
+    """
+    from camera_calibration_tpu.ba.dataset import Dataset, KnownGeometry
+    from camera_calibration_tpu.features import detector as fdet
+    from camera_calibration_tpu.features import pattern as pat
+    from camera_calibration_tpu.io import dataset_bin
+    from camera_calibration_tpu.io.image_input import create_image_input
+    from camera_calibration_tpu.ui.live_capture import (
+        LiveCaptureOptions,
+        LiveImageConsumer,
+        run_live_capture,
+    )
+
+    patterns = [pat.load_pattern_yaml(p) for p in args.pattern_files.split(",")]
+    det = fdet.FeatureDetector(patterns)
+
+    image_input = create_image_input(args.inputs)
+    n_cam = image_input.num_cameras
+    dataset = Dataset(num_cameras=n_cam, image_sizes=[])
+    for pi, spec in enumerate(patterns):
+        dataset.known_geometries.append(
+            KnownGeometry(
+                cell_length_in_meters=spec.square_length_in_meters,
+                feature_id_to_position=dict(det.corner_maps[pi]),
+            )
+        )
+
+    os.makedirs(args.output_directory, exist_ok=True)
+    record_dirs = [
+        os.path.join(args.output_directory, f"images_camera{ci}")
+        for ci in range(n_cam)
+    ]
+    options = LiveCaptureOptions(
+        live_detection=not args.no_live_detection,
+        record_images=args.record_images,
+        record_with_detections_only=not args.record_all_images,
+        capture_interval=args.capture_interval,
+        max_imagesets=args.max_imagesets,
+        visualization_directory=args.output_directory,
+    )
+    consumer = LiveImageConsumer(dataset, det, options,
+                                 record_directories=record_dirs)
+    with image_input:
+        kept = run_live_capture(image_input, consumer)
+
+    out = os.path.join(args.output_directory, "dataset.bin")
+    dataset_bin.save_dataset(out, dataset)
+    n_feat = sum(len(f) for s in dataset.imagesets for f in s.features)
+    print(
+        f"recorded {kept} imagesets ({n_feat} features, "
+        f"{consumer.num_recorded} image sets written) -> {out}"
+    )
     return 0
 
 
@@ -1131,6 +1211,11 @@ def main(argv=None):
         "--localize_only", action="store_true",
         help="freeze intrinsics and pattern points; optimize poses only",
     )
+    p.add_argument(
+        "--live_directory",
+        help="write per-stage visualization PNGs here as calibration "
+             "progresses (the headless CalibrationWindow)",
+    )
     p.set_defaults(func=cmd_calibrate)
 
     p = sub.add_parser("extract-features", help="detector only")
@@ -1138,6 +1223,28 @@ def main(argv=None):
     p.add_argument("--pattern_files", required=True)
     p.add_argument("--output", required=True, help="output dataset.bin")
     p.set_defaults(func=cmd_extract_features)
+
+    p = sub.add_parser(
+        "record",
+        help="live capture from cameras/videos/directories -> dataset.bin",
+    )
+    p.add_argument(
+        "--inputs", required=True,
+        help="comma-separated per-camera sources: v4l2:<index>, "
+             "video:<path>, or dir:<path>",
+    )
+    p.add_argument("--pattern_files", required=True)
+    p.add_argument("--output_directory", required=True)
+    p.add_argument("--record_images", action="store_true",
+                   help="write captured images to per-camera directories")
+    p.add_argument("--record_all_images", action="store_true",
+                   help="record imagesets even without detections")
+    p.add_argument("--no_live_detection", action="store_true",
+                   help="record only; skip per-frame feature detection")
+    p.add_argument("--capture_interval", type=float, default=0.0,
+                   help="minimum seconds between processed imagesets")
+    p.add_argument("--max_imagesets", type=int, default=None)
+    p.set_defaults(func=cmd_record)
 
     p = sub.add_parser("report", help="report for a saved state")
     p.add_argument("--state_directory", required=True)
