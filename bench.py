@@ -225,6 +225,9 @@ def main():
     try:
         sc = bench_scaling_subprocess()
         extras["gspmd_8dev_efficiency_vs_1dev_cpu"] = sc["gspmd_efficiency"]
+        extras["gspmd_8dev_weak_efficiency_cpu"] = sc.get(
+            "gspmd_weak_efficiency"
+        )
     except Exception as e:
         extras["scaling_error"] = str(e)[:200]
 

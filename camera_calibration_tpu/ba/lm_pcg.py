@@ -436,6 +436,8 @@ def jtwj_block_diag(data, blocks, state: BAState):
         pts = pts + _jtwj_diag_point(seg, b.j_point, w, p_n)
         bi = b.intr
         if isinstance(bi, res.GridIntr):
+            from camera_calibration_tpu.ba import window_pallas as wp
+
             zero = zero_tangent(state).intr[ci]
             gh, gw = zero.shape[0], zero.shape[1]
             kk = bi.k_tangent
@@ -444,26 +446,39 @@ def jtwj_block_diag(data, blocks, state: BAState):
             )
             # One-hot window contractions instead of a 16n-row scatter-add:
             # TPU scatters serialize per row (measured ~300 ms at 262k
-            # obs); here as unrolled (gh,n)@(n,gw) matmuls so every
-            # materialized operand stays 2-D (GridIntr layout note).
-            knot = jnp.zeros((gh, gw, kk, kk), bi.j_win.dtype)
-            for y in range(4):
-                for x in range(4):
-                    oyx = oy[y] * w[:, None]  # weight folded once
-                    for j in range(kk):
-                        fj = (y * 4 + x) * kk + j
-                        jx_j = bi.j_win[fj]
-                        jy_j = bi.j_win[16 * kk + fj]
-                        for l in range(j, kk):
-                            fl = (y * 4 + x) * kk + l
-                            prod = (
-                                jx_j * bi.j_win[fl]
-                                + jy_j * bi.j_win[16 * kk + fl]
-                            )
-                            block = (oyx * prod[:, None]).T @ ox[x]
-                            knot = knot.at[:, :, j, l].add(block)
-                            if l != j:
-                                knot = knot.at[:, :, l, j].add(block)
+            # obs).
+            if wp.window_pallas_enabled(bi.j_win.dtype):
+                # TPU form: unrolled (gh,n)@(n,gw) matmuls so every
+                # materialized operand stays 2-D (GridIntr layout note;
+                # batched rank-4/5 einsums measured 2.7× slower here).
+                knot = jnp.zeros((gh, gw, kk, kk), bi.j_win.dtype)
+                for y in range(4):
+                    for x in range(4):
+                        oyx = oy[y] * w[:, None]  # weight folded once
+                        for j in range(kk):
+                            fj = (y * 4 + x) * kk + j
+                            jx_j = bi.j_win[fj]
+                            jy_j = bi.j_win[16 * kk + fj]
+                            for l in range(j, kk):
+                                fl = (y * 4 + x) * kk + l
+                                prod = (
+                                    jx_j * bi.j_win[fl]
+                                    + jy_j * bi.j_win[16 * kk + fl]
+                                )
+                                block = (oyx * prod[:, None]).T @ ox[x]
+                                knot = knot.at[:, :, j, l].add(block)
+                                if l != j:
+                                    knot = knot.at[:, :, l, j].add(block)
+            else:
+                # XLA/CPU form: two batched contractions, ONE reduction
+                # over the (possibly sharded) observation axis — a single
+                # collective under GSPMD instead of 16·k(k+1)/2.
+                oy_s = jnp.stack(oy) * w[None, :, None]  # (4, n, gh)
+                ox_s = jnp.stack(ox)  # (4, n, gw)
+                jw = bi.j_win.reshape(2, 4, 4, kk, -1)
+                prod = jnp.einsum("iyxjn,iyxln->yxjln", jw, jw)
+                t = jnp.einsum("xnw,yxjln->ynwjl", ox_s, prod)
+                knot = jnp.einsum("ynh,ynwjl->hwjl", oy_s, t)
             intr.append(knot)
         else:
             intr.append(

@@ -332,26 +332,23 @@ def intr_apply_j(intr, tangent_intr):
         if wp.window_pallas_enabled(intr.j_win.dtype):
             return wp.window_apply_j(intr.j_win, intr.base_xy, tangent_intr)
         oy, ox = _window_onehots(intr.base_xy, gh, gw, intr.j_win.dtype)
-        # dense window gather as unrolled 2-D contractions: per window row
-        # y, pull the tangent row (one (n,gh)@(gh,gw·k) matmul), then per
-        # (x, j) a rowwise dot with the column indicator — all operands
-        # stay 2-D (see GridIntr layout note).  A batched-einsum variant
-        # (rank-4/5 operands, 3 einsums) was measured 2.7× SLOWER on the
-        # TPU bench: small-trailing-dim batched contractions defeat the
-        # tiled layout; unrolled 2-D matmuls are the fast form here.
-        t2 = tangent_intr.reshape(gh, gw * k)
-        out0 = jnp.zeros((n,), intr.j_win.dtype)
-        out1 = jnp.zeros((n,), intr.j_win.dtype)
-        for y in range(4):
-            rowsel = oy[y] @ t2  # (n, gw*k)
-            rs = rowsel.reshape(n, gw, k)
-            for j in range(k):
-                rj = rs[:, :, j]  # (n, gw) — slice of a fresh product
-                for x in range(4):
-                    win_val = jnp.sum(ox[x] * rj, axis=1)  # (n,)
-                    f = (y * 4 + x) * k + j
-                    out0 = out0 + intr.j_win[f] * win_val
-                    out1 = out1 + intr.j_win[16 * k + f] * win_val
+        # Batched window gather (XLA fallback path; the TPU hot path is
+        # the Pallas kernel above): two batched contractions instead of
+        # ~50 small 2-D ops.  The op count matters under GSPMD
+        # observation sharding — every separate contraction over the
+        # sharded axis becomes its own collective — and on the CPU
+        # backend, where dispatch dominates.  (On TPU the unrolled 2-D
+        # matmul form measured faster than the batched one, which is why
+        # the Pallas kernel, not this path, serves the chip.)
+        oy_s = jnp.stack(oy)  # (4, n, gh)
+        ox_s = jnp.stack(ox)  # (4, n, gw)
+        rowsel = jnp.einsum(
+            "ynh,hwj->ynwj", oy_s, tangent_intr
+        )  # (4, n, gw, k): tangent row at (by+y) per observation
+        wv = jnp.einsum("xnw,ynwj->yxjn", ox_s, rowsel)  # (4, 4, k, n)
+        wv = wv.reshape(16 * k, n)
+        out0 = jnp.sum(intr.j_win[: 16 * k] * wv, axis=0)
+        out1 = jnp.sum(intr.j_win[16 * k:] * wv, axis=0)
         return jnp.stack([out0, out1], axis=-1)
     return jnp.einsum("nik,k->ni", intr.j_params, tangent_intr)
 
@@ -368,20 +365,18 @@ def intr_apply_jtw(intr, ws, tangent_shape_like):
                 intr.j_win, intr.base_xy, ws, gh, gw, k
             )
         oy, ox = _window_onehots(intr.base_xy, gh, gw, intr.j_win.dtype)
-        ws0 = ws[:, 0]
-        ws1 = ws[:, 1]
-        out = jnp.zeros((gh, gw, k), intr.j_win.dtype)
-        for y in range(4):
-            for x in range(4):
-                for j in range(k):
-                    f = (y * 4 + x) * k + j
-                    contrib = (
-                        intr.j_win[f] * ws0 + intr.j_win[16 * k + f] * ws1
-                    )  # (n,)
-                    # scatter into knots: (gh,n)@(n,gw) rank-expanded sum
-                    block = (oy[y] * contrib[:, None]).T @ ox[x]
-                    out = out.at[:, :, j].add(block)
-        return out
+        # Batched window scatter (XLA fallback; see intr_apply_j note):
+        # ONE contraction over the observation axis — a single collective
+        # under observation sharding instead of 16·k — preceded by a
+        # batched x-spread that stays shard-local.
+        oy_s = jnp.stack(oy)  # (4, n, gh)
+        ox_s = jnp.stack(ox)  # (4, n, gw)
+        c = (
+            intr.j_win[: 16 * k] * ws[:, 0]
+            + intr.j_win[16 * k:] * ws[:, 1]
+        ).reshape(4, 4, k, n)
+        t = jnp.einsum("xnw,yxjn->ynwj", ox_s, c)  # (4, n, gw, k)
+        return jnp.einsum("ynh,ynwj->hwj", oy_s, t)
     return jnp.einsum("nik,ni->k", intr.j_params, ws)
 
 
