@@ -191,9 +191,10 @@ def main():
 
     # Inexact-Newton cap: 20 CG iterations per LM step is where
     # time-to-convergence is best on this problem (the tail of a 50-iter
-    # solve buys little extra LM progress).  5 LM steps are fused per
-    # device call (lax.scan) to amortize dispatch latency.
-    n_scan = 5
+    # solve buys little extra LM progress).  10 LM steps are fused per
+    # device call (lax.scan) to amortize the ~40 ms remote dispatch
+    # latency (device time is ~13.5 ms/iteration).
+    n_scan = 10
     options = lm_pcg.BAOptions(max_pcg_iterations=20, proj_iterations=8,
                                lm_steps_per_call=n_scan)
     step = lm_pcg.make_lm_scan(options, n_scan)

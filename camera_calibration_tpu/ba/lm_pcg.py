@@ -49,7 +49,7 @@ from camera_calibration_tpu.ba.state import (
     retract,
     zero_tangent,
 )
-from camera_calibration_tpu.ops import manifolds
+from camera_calibration_tpu.ops import linalg, manifolds
 from camera_calibration_tpu.ops.segsum import onehot_segment_sum
 
 
@@ -441,35 +441,18 @@ def jtwj_block_diag(data, blocks, state: BAState):
             zero = zero_tangent(state).intr[ci]
             gh, gw = zero.shape[0], zero.shape[1]
             kk = bi.k_tangent
-            oy, ox = res._window_onehots(
-                bi.base_xy, gh, gw, bi.j_win.dtype
-            )
             # One-hot window contractions instead of a 16n-row scatter-add:
             # TPU scatters serialize per row (measured ~300 ms at 262k
             # obs).
             if wp.window_pallas_enabled(bi.j_win.dtype):
-                # TPU form: unrolled (gh,n)@(n,gw) matmuls so every
-                # materialized operand stays 2-D (GridIntr layout note;
-                # batched rank-4/5 einsums measured 2.7× slower here).
-                knot = jnp.zeros((gh, gw, kk, kk), bi.j_win.dtype)
-                for y in range(4):
-                    for x in range(4):
-                        oyx = oy[y] * w[:, None]  # weight folded once
-                        for j in range(kk):
-                            fj = (y * 4 + x) * kk + j
-                            jx_j = bi.j_win[fj]
-                            jy_j = bi.j_win[16 * kk + fj]
-                            for l in range(j, kk):
-                                fl = (y * 4 + x) * kk + l
-                                prod = (
-                                    jx_j * bi.j_win[fl]
-                                    + jy_j * bi.j_win[16 * kk + fl]
-                                )
-                                block = (oyx * prod[:, None]).T @ ox[x]
-                                knot = knot.at[:, :, j, l].add(block)
-                                if l != j:
-                                    knot = knot.at[:, :, l, j].add(block)
+                # TPU form: stacked-dot Pallas kernel (one MXU launch).
+                knot = wp.window_block_diag(
+                    bi.j_win, bi.base_xy, w, gh, gw, kk
+                )
             else:
+                oy, ox = res._window_onehots(
+                    bi.base_xy, gh, gw, bi.j_win.dtype
+                )
                 # XLA/CPU form: two batched contractions, ONE reduction
                 # over the (possibly sharded) observation axis — a single
                 # collective under GSPMD instead of 16·k(k+1)/2.
@@ -494,7 +477,7 @@ def make_block_preconditioner(block_diag, lam, state):
 
     def damped_inv(a):
         k = a.shape[-1]
-        return jnp.linalg.inv(a + lam * jnp.eye(k, dtype=dtype))
+        return linalg.inv_spd_blocks(a + lam * jnp.eye(k, dtype=dtype))
 
     rig_inv = damped_inv(rig)
     cam_inv = damped_inv(cam)
@@ -591,7 +574,7 @@ def schur_pcg_solve(data, blocks, state, grad, block_diag, lam, mask, options,
         elim_b = rig_b
         keep = dict(rig=False, cam=True, points=True, intr=True)
     k_el = elim_b.shape[-1]
-    d_inv = jnp.linalg.inv(elim_b + lam * jnp.eye(k_el, dtype=dtype))
+    d_inv = linalg.inv_spd_blocks(elim_b + lam * jnp.eye(k_el, dtype=dtype))
 
     def zero_elim(t: BATangent) -> BATangent:
         if eliminate == "points":
@@ -758,7 +741,7 @@ def schur_direct_solve(data, blocks, state, grad, block_diag, lam, mask,
         elim_b, k_el, n_el, elim_off = rig_b, 6, m_n, rig_off
     else:
         elim_b, k_el, n_el, elim_off = pts_b, 3, p_n, pt_off
-    d_inv = jnp.linalg.inv(elim_b + lam * jnp.eye(k_el, dtype=dtype))
+    d_inv = linalg.inv_spd_blocks(elim_b + lam * jnp.eye(k_el, dtype=dtype))
 
     h = jnp.zeros((f_dim, f_dim), dtype)
     c_mat = jnp.zeros((n_el, f_dim, k_el), dtype)
