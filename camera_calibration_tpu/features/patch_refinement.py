@@ -30,6 +30,8 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+
+from camera_calibration_tpu.ops import linalg
 import numpy as np
 
 
@@ -115,11 +117,18 @@ def sample_patches(patches, xy, with_grad: bool = True):
     wx, dwx = _hat_weights(xc, p, dtype)
     wy, dwy = _hat_weights(yc, p, dtype)
     # T[n,s,q] = Σ_p wx[n,s,p] · patch[n,q,p]   (q = row index)
-    t = jnp.einsum("nsp,nqp->nsq", wx, patches)
+    # precision HIGH (3 bf16 passes, ~2^-16 rel) instead of the package
+    # default HIGHEST (6 passes): the contraction is 26 GFLOP per LM
+    # iteration at detector batch sizes and dominates the kernel; the
+    # refinement's measured bias (~0.02 px) sits far above the 1e-5
+    # sampling error HIGH introduces.
+    t = jnp.einsum("nsp,nqp->nsq", wx, patches,
+                   precision=jax.lax.Precision.HIGH)
     val = jnp.sum(wy * t, axis=-1)
     if not with_grad:
         return val, None, valid
-    tdx = jnp.einsum("nsp,nqp->nsq", dwx, patches)
+    tdx = jnp.einsum("nsp,nqp->nsq", dwx, patches,
+                     precision=jax.lax.Precision.HIGH)
     gx = jnp.sum(wy * tdx, axis=-1)
     gy = jnp.sum(dwy * t, axis=-1)
     return val, jnp.stack([gx, gy], axis=-1), valid
@@ -222,7 +231,7 @@ def refine_symmetry_patches(
         diag_mean = jnp.trace(big_h, axis1=-2, axis2=-1) / 8.0
         lam = jnp.where(lam < 0, 1e-3 * diag_mean, lam)
         h_lm = big_h + lam[:, None, None] * jnp.eye(8, dtype=dtype)
-        step = jnp.linalg.solve(h_lm, b[..., None])[..., 0]
+        step = linalg.cholesky_solve_small(h_lm, b)
         step = jnp.where(jnp.isfinite(step), step, 0.0)
         upd = step.reshape(-1, 8)
         h_test = h - jnp.concatenate(
@@ -366,7 +375,7 @@ def refine_matching_patches(
         diag_mean = jnp.trace(big_h, axis1=-2, axis2=-1) / 4.0
         lam = jnp.where(lam < 0, 1e-3 * diag_mean, lam)
         h_lm = big_h + lam[:, None, None] * jnp.eye(4, dtype=dtype)
-        step = jnp.linalg.solve(h_lm, b[..., None])[..., 0]
+        step = linalg.cholesky_solve_small(h_lm, b)
         step = jnp.where(jnp.isfinite(step), step, 0.0)
         test = (pos - step[:, :2], fac - step[:, 2], bias - step[:, 3])
         cost = cost_of((pos, fac, bias))

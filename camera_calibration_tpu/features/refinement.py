@@ -29,7 +29,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from camera_calibration_tpu.ops import interp
+from camera_calibration_tpu.ops import interp, linalg
 
 
 def make_sample_offsets(rng, window_half_size: int, count: int | None = None):
@@ -163,7 +163,7 @@ def refine_features_symmetry(
         diag_mean = jnp.trace(big_h, axis1=-2, axis2=-1) / 8.0
         lam = jnp.where(lam < 0, 1e-3 * diag_mean, lam)
         h_lm = big_h + lam[:, None, None] * jnp.eye(8, dtype=dtype)
-        step = jnp.linalg.solve(h_lm, b[..., None])[..., 0]
+        step = linalg.cholesky_solve_small(h_lm, b)
         step = jnp.where(jnp.isfinite(step), step, 0.0)
         h_test = h.at[:, 0, 0].add(-step[:, 0])
         h_test = h_test.at[:, 0, 1].add(-step[:, 1])
@@ -261,7 +261,7 @@ def refine_features_matching(
         diag_mean = jnp.trace(big_h, axis1=-2, axis2=-1) / 4.0
         lam = jnp.where(lam < 0, 1e-3 * diag_mean, lam)
         h_lm = big_h + lam[:, None, None] * jnp.eye(4, dtype=dtype)
-        step = jnp.linalg.solve(h_lm, b[..., None])[..., 0]
+        step = linalg.cholesky_solve_small(h_lm, b)
         step = jnp.where(jnp.isfinite(step), step, 0.0)
         test = (pos - step[:, :2], fac - step[:, 2], bias - step[:, 3])
         cost = cost_of((pos, fac, bias))

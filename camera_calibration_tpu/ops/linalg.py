@@ -70,6 +70,46 @@ def solve_psd(a, b, damping=0.0):
     return jnp.linalg.solve(a, b)
 
 
+def cholesky_solve_small(a, b):
+    """Batched SPD solve for small static k via fully unrolled Cholesky.
+
+    a (..., k, k) SPD (λ-damped normal equations), b (..., k).  Unrolls
+    the factorization and both triangular solves into ~k³/3 elementwise
+    ops on the batch — pure VPU code.  This is the TPU analog of the
+    reference's in-kernel parallel Cholesky (libvis/cuda/
+    cholesky_solver.h:54): a LAPACK LU custom call on (N, 8, 8) costs
+    ~4 ms per launch on TPU, this costs microseconds.
+    """
+    k = a.shape[-1]
+    l = [[None] * k for _ in range(k)]
+    inv_d = [None] * k
+    for j in range(k):
+        s = a[..., j, j]
+        for p in range(j):
+            s = s - l[j][p] * l[j][p]
+        d = jnp.sqrt(jnp.maximum(s, 1e-30))
+        l[j][j] = d
+        inv_d[j] = 1.0 / d
+        for i in range(j + 1, k):
+            s2 = a[..., i, j]
+            for p in range(j):
+                s2 = s2 - l[i][p] * l[j][p]
+            l[i][j] = s2 * inv_d[j]
+    y = [None] * k
+    for i in range(k):
+        s = b[..., i]
+        for p in range(i):
+            s = s - l[i][p] * y[p]
+        y[i] = s * inv_d[i]
+    x = [None] * k
+    for i in reversed(range(k)):
+        s = y[i]
+        for p in range(i + 1, k):
+            s = s - l[p][i] * x[p]
+        x[i] = s * inv_d[i]
+    return jnp.stack(x, axis=-1)
+
+
 def inv_2x2(a):
     """Closed-form batched (...,2,2) inverse (0 on singular)."""
     det = a[..., 0, 0] * a[..., 1, 1] - a[..., 0, 1] * a[..., 1, 0]
