@@ -1,0 +1,110 @@
+"""TPU Pallas-kernel equivalence, run on the real chip when present.
+
+The CPU suite forces JAX onto the CPU backend (tests/conftest.py), so the
+Pallas hot-path kernels are never exercised by the other tests.  This
+module spawns a subprocess WITHOUT the CPU override: on a machine with a
+TPU attached it checks the window kernels (J_intr·v, J_intrᵀW·s, per-knot
+block diagonal) and the fused projection+Jacobian path against the XLA
+fallback forms (CCT_PALLAS=0); skipped cleanly when no TPU is available.
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+_WORKER = r"""
+import os, sys
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+if jax.default_backend() == "cpu":
+    print("NO_TPU")
+    sys.exit(0)
+
+from camera_calibration_tpu.ba import residuals as res
+from camera_calibration_tpu.ba import window_pallas as wp
+
+rng = np.random.default_rng(0)
+n, gh, gw, k = 8192, 16, 16, 2
+j_win = jnp.asarray(rng.normal(0, 1, (2 * 16 * k, n)).astype(np.float32))
+base = jnp.asarray(rng.integers(0, gh - 3, (n, 2)).astype(np.int32))
+ws = jnp.asarray(rng.normal(0, 1, (n, 2)).astype(np.float32))
+w = jnp.asarray(rng.uniform(0, 1, n).astype(np.float32))
+tangent = jnp.asarray(rng.normal(0, 1, (gh, gw, k)).astype(np.float32))
+intr = res.GridIntr(j_win=j_win, base_xy=base, k_tangent=k)
+
+# XLA reference forms (the CPU/sharded fallback path)
+os.environ["CCT_PALLAS"] = "0"
+ref_j = res.intr_apply_j(intr, tangent)
+ref_jtw = res.intr_apply_jtw(intr, ws, tangent)
+oy, ox = res._window_onehots(base, gh, gw, jnp.float32)
+oy_s = jnp.stack(oy) * w[None, :, None]
+ox_s = jnp.stack(ox)
+jw4 = j_win.reshape(2, 4, 4, k, n)
+prod = jnp.einsum("iyxjn,iyxln->yxjln", jw4, jw4)
+t2 = jnp.einsum("xnw,yxjln->ynwjl", ox_s, prod)
+ref_bd = jnp.einsum("ynh,ynwjl->hwjl", oy_s, t2)
+os.environ["CCT_PALLAS"] = "1"
+
+got_j = wp.window_apply_j(j_win, base, tangent)
+got_jtw = wp.window_apply_jtw(j_win, base, ws, gh, gw, k)
+got_bd = wp.window_block_diag(j_win, base, w, gh, gw, k)
+
+
+def relerr(a, b):
+    return float(jnp.max(jnp.abs(a - b)) / jnp.max(jnp.abs(b)))
+
+
+assert relerr(got_j, ref_j) < 1e-4, relerr(got_j, ref_j)
+assert relerr(got_jtw, ref_jtw) < 1e-4, relerr(got_jtw, ref_jtw)
+assert relerr(got_bd, ref_bd) < 1e-4, relerr(got_bd, ref_bd)
+
+# Fused projection+Jacobian Pallas path vs the XLA path, through one full
+# LM step on a small bench-shaped problem.
+sys.path.insert(0, os.environ["CCT_REPO_ROOT"])
+import bench
+from camera_calibration_tpu.ba import lm_pcg
+
+state, data, meta = bench.make_bench_problem(n_points=128, n_poses=16)
+options = lm_pcg.BAOptions(max_pcg_iterations=12, proj_iterations=8)
+step = lm_pcg.make_lm_step(options)
+warm = tuple(s.pixel for s in data)
+lam = jnp.asarray(1e-2, jnp.float32)
+out_pallas = step(state, warm, lam, data)
+
+os.environ["CCT_PALLAS"] = "0"
+jax.clear_caches()
+out_xla = step(state, warm, lam, data)
+os.environ["CCT_PALLAS"] = "1"
+
+cost_p, cost_x = float(out_pallas[5]), float(out_xla[5])
+assert abs(cost_p - cost_x) / max(abs(cost_x), 1e-30) < 1e-3, (cost_p, cost_x)
+dp = np.asarray(out_pallas[0].points) - np.asarray(out_xla[0].points)
+scale = np.max(np.abs(np.asarray(out_xla[0].points)))
+assert np.max(np.abs(dp)) / scale < 1e-3, np.max(np.abs(dp)) / scale
+print("TPU_KERNELS_OK", cost_p, cost_x)
+"""
+
+
+@pytest.mark.timeout(900)
+def test_pallas_kernels_match_xla_on_tpu(tmp_path):
+    worker = tmp_path / "worker.py"
+    worker.write_text(_WORKER)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env["CCT_REPO_ROOT"] = repo_root
+    env["PYTHONPATH"] = os.pathsep.join(
+        [repo_root] + ([env["PYTHONPATH"]] if env.get("PYTHONPATH") else [])
+    )
+    r = subprocess.run(
+        [sys.executable, str(worker)],
+        capture_output=True, text=True, env=env, timeout=880,
+    )
+    if "NO_TPU" in r.stdout:
+        pytest.skip("no TPU attached")
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    assert "TPU_KERNELS_OK" in r.stdout, r.stdout[-2000:]
