@@ -160,6 +160,76 @@ def _best_code_match(code: int):
     return int(dists[tid]), tid
 
 
+_TAG_CORNERS = np.array([[0.0, 0.0], [8.0, 0.0], [8.0, 8.0], [0.0, 8.0]])
+
+
+def _homography_4pt_batch(src, dst):
+    """Batched 4-point homographies: src (4,2) shared, dst (Q,4,2)."""
+    q = dst.shape[0]
+    a = np.zeros((q, 8, 9))
+    ones = np.ones(q)
+    zeros = np.zeros(q)
+    for i, (x, y) in enumerate(src):
+        u = dst[:, i, 0]
+        v = dst[:, i, 1]
+        a[:, 2 * i] = np.stack(
+            [x * ones, y * ones, ones, zeros, zeros, zeros,
+             -u * x, -u * y, -u], -1
+        )
+        a[:, 2 * i + 1] = np.stack(
+            [zeros, zeros, zeros, x * ones, y * ones, ones,
+             -v * x, -v * y, -v], -1
+        )
+    _, _, vt = np.linalg.svd(a)
+    hh = vt[:, -1].reshape(q, 3, 3)
+    den = hh[:, 2:3, 2:3]
+    den = np.where(np.abs(den) > 1e-12, den, 1e-12)
+    return hh / den
+
+
+def _sample_grid_batch(gray, hs, n=10, offset=-1.0):
+    """Batched _sample_grid: hs (Q,3,3) → (grid (Q,n,n), all-in-bounds (Q,))."""
+    coords = offset + 0.5 + np.arange(n, dtype=np.float64)
+    gx, gy = np.meshgrid(coords, coords)
+    pts = np.stack([gx.ravel(), gy.ravel(), np.ones(n * n)])  # (3, S)
+    qp = hs @ pts  # (Q, 3, S)
+    den = np.where(np.abs(qp[:, 2]) > 1e-12, qp[:, 2], 1e-12)
+    px = qp[:, 0] / den
+    py = qp[:, 1] / den
+    h, w = gray.shape
+    x = np.clip(px - 0.5, 0, w - 1.001)
+    y = np.clip(py - 0.5, 0, h - 1.001)
+    x0 = np.clip(np.floor(x).astype(np.int64), 0, w - 2)
+    y0 = np.clip(np.floor(y).astype(np.int64), 0, h - 2)
+    tx = x - x0
+    ty = y - y0
+    flat = gray.ravel()
+    i00 = y0 * w + x0
+    v00 = flat[i00]
+    v10 = flat[i00 + 1]
+    v01 = flat[i00 + w]
+    v11 = flat[i00 + w + 1]
+    top = v00 + tx * (v10 - v00)
+    bot = v01 + tx * (v11 - v01)
+    v = top + ty * (bot - top)
+    inb = (
+        (px >= 0.5) & (px < w - 0.5) & (py >= 0.5) & (py < h - 0.5)
+    ).all(axis=1)
+    return v.reshape(-1, n, n), inb
+
+
+_BORDER_MASK = np.zeros((10, 10), bool)
+_BORDER_MASK[1, 1:9] = True
+_BORDER_MASK[8, 1:9] = True
+_BORDER_MASK[1:9, 1] = True
+_BORDER_MASK[1:9, 8] = True
+_OUTER_MASK = np.zeros((10, 10), bool)
+_OUTER_MASK[0, :] = True
+_OUTER_MASK[-1, :] = True
+_OUTER_MASK[:, 0] = True
+_OUTER_MASK[:, -1] = True
+
+
 def detect_tags(
     gray,
     max_hamming: int = 1,
@@ -168,6 +238,12 @@ def detect_tags(
     """Detect tag36h11 tags in a grayscale image (float [0,1] or uint8).
 
     Returns a list of TagDetection (pixel-corner convention corners).
+
+    The whole candidate pipeline is batched over the Q contour quads
+    (one cornerSubPix call, one batched SVD, one batched grid sample, one
+    (Q, 4 rot, 587 codes) hamming table) — a star-pattern image produces
+    thousands of false quad candidates and the per-quad loop cost ~1 ms
+    each.
     """
     gray = np.asarray(gray)
     if gray.dtype == np.uint8:
@@ -177,87 +253,78 @@ def detect_tags(
 
     import cv2
 
-    img8 = (
-        np.clip(grayf * 255.0, 0, 255).astype(np.uint8)
-    )
+    img8 = np.clip(grayf * 255.0, 0, 255).astype(np.uint8)
 
-    detections = []
+    quads = [_order_ccw(quad) for quad in _quad_candidates(grayf)]
+    if not quads:
+        return []
+    quads = np.stack(quads).astype(np.float64)  # (Q, 4, 2)
+    nq = quads.shape[0]
+
+    # Sub-pixel corner refinement of the coarse contour vertices
+    # (the reference's apriltag library fits line segments; cornerSubPix
+    # on the saddle-like border corners serves the same purpose).
+    try:
+        refined = cv2.cornerSubPix(
+            img8,
+            quads.astype(np.float32).reshape(-1, 1, 2),
+            (5, 5),
+            (-1, -1),
+            (cv2.TERM_CRITERIA_EPS + cv2.TERM_CRITERIA_MAX_ITER, 20, 0.01),
+        ).reshape(nq, 4, 2).astype(np.float64)
+        ok = np.linalg.norm(refined - quads, axis=-1) < 4.0
+        quads = np.where(ok[..., None], refined, quads)
+    except cv2.error:
+        pass
+
+    # contour corners are pixel indices; convert to pixel-corner coords.
+    # The quad detector finds the outer edge of the black border ring
+    # = tag frame [0, 8]².
+    corners_img = quads + 0.5
+    hs = _homography_4pt_batch(_TAG_CORNERS, corners_img)
+    grid, inb = _sample_grid_batch(grayf, hs, n=10, offset=-1.0)
+
+    # reference levels: black = border ring cells, white = outer ring
+    black_ref = grid[:, _BORDER_MASK].mean(axis=1)
+    white_ref = grid[:, _OUTER_MASK].mean(axis=1)
+    keep = inb & (white_ref - black_ref >= 0.1)
+
+    thresh = 0.5 * (black_ref + white_ref)
+    data_cells = (grid > thresh[:, None, None])[:, 1:9, 1:9]
+
+    codes_bits = _codes_array()  # (587, 36)
+    best_hd = np.full(nq, 99, np.int64)
+    best_tid = np.zeros(nq, np.int64)
+    best_rot = np.zeros(nq, np.int64)
+    for rot in range(4):
+        cells = np.rot90(data_cells, rot, axes=(1, 2))
+        bits = cells[:, fam.BIT_Y, fam.BIT_X].astype(np.uint8)  # (Q, 36)
+        dists = np.count_nonzero(
+            bits[:, None, :] != codes_bits[None, :, :], axis=2
+        )  # (Q, 587)
+        tid = np.argmin(dists, axis=1)
+        hd = dists[np.arange(nq), tid]
+        upd = keep & (hd < best_hd)
+        best_hd = np.where(upd, hd, best_hd)
+        best_tid = np.where(upd, tid, best_tid)
+        best_rot = np.where(upd, rot, best_rot)
+
     seen_ids = {}
-    for quad in _quad_candidates(grayf):
-        quad = _order_ccw(quad)
-        # Sub-pixel corner refinement of the coarse contour vertices
-        # (the reference's apriltag library fits line segments; cornerSubPix
-        # on the saddle-like border corners serves the same purpose).
-        try:
-            refined = cv2.cornerSubPix(
-                img8,
-                quad.astype(np.float32).reshape(-1, 1, 2),
-                (5, 5),
-                (-1, -1),
-                (cv2.TERM_CRITERIA_EPS + cv2.TERM_CRITERIA_MAX_ITER, 20, 0.01),
-            ).reshape(-1, 2)
-            # keep only plausible refinements (within a few pixels)
-            ok = np.linalg.norm(refined - quad, axis=1) < 4.0
-            quad = np.where(ok[:, None], refined, quad)
-        except cv2.error:
-            pass
-        # contour corners are pixel indices; convert to pixel-corner coords
-        corners_img = quad + 0.5
-        # The quad detector finds the outer edge of the black border ring
-        # = tag frame [0, 8]².
-        tag_corners = np.array(
-            [[0.0, 0.0], [8.0, 0.0], [8.0, 8.0], [0.0, 8.0]]
+    for qi in np.nonzero(best_hd <= max_hamming)[0]:
+        hd, tid, rot = int(best_hd[qi]), int(best_tid[qi]), int(best_rot[qi])
+        # rotate corners so corner 0 corresponds to tag frame (0,0): the
+        # grid was rotated by `rot`, so the detected quad is rotated by
+        # -rot relative to canonical — shift the corner order.
+        corners = np.roll(corners_img[qi], -rot, axis=0)
+        h_fixed = _homography_4pt(_TAG_CORNERS, corners)
+        det = TagDetection(
+            tag_id=tid, hamming=hd, corners=corners,
+            center=corners.mean(0), h_tag_to_image=h_fixed,
         )
-        for start in range(1):
-            h_t2i = _homography_4pt(tag_corners, corners_img)
-            grid, inb = _sample_grid(grayf, h_t2i, n=10, offset=-1.0)
-            if not inb.all():
-                continue
-            # references: black = border ring cells, white = outer ring
-            border_mask = np.zeros((10, 10), bool)
-            border_mask[1, 1:9] = True
-            border_mask[8, 1:9] = True
-            border_mask[1:9, 1] = True
-            border_mask[1:9, 8] = True
-            outer_mask = np.zeros((10, 10), bool)
-            outer_mask[0, :] = True
-            outer_mask[-1, :] = True
-            outer_mask[:, 0] = True
-            outer_mask[:, -1] = True
-            black_ref = grid[border_mask].mean()
-            white_ref = grid[outer_mask].mean()
-            if white_ref - black_ref < 0.1:
-                continue
-            thresh = 0.5 * (black_ref + white_ref)
-            cells10 = grid > thresh
-            data_cells = cells10[1:9, 1:9]  # 8×8 border frame
-
-            best = None
-            for rot in range(4):
-                cells = np.rot90(data_cells, rot)
-                code = _bits_from_cells(cells)
-                hd, tid = _best_code_match(code)
-                if hd <= max_hamming and (best is None or hd < best[0]):
-                    best = (hd, tid, rot)
-            if best is None:
-                continue
-            hd, tid, rot = best
-            # rotate corners so corner 0 corresponds to tag frame (0,0):
-            # np.rot90(cells, rot) maps original cell (y, x) ->  ... we
-            # rotated the GRID by `rot`; equivalently the detected quad is
-            # rotated by -rot relative to canonical. Shift corner order.
-            corners = np.roll(corners_img, -rot, axis=0)
-            h_fixed = _homography_4pt(tag_corners, corners)
-            center = corners.mean(0)
-            det = TagDetection(
-                tag_id=tid, hamming=hd, corners=corners, center=center,
-                h_tag_to_image=h_fixed,
-            )
-            prev = seen_ids.get(tid)
-            if prev is None or prev.hamming > hd:
-                seen_ids[tid] = det
-    detections = list(seen_ids.values())
-    return detections
+        prev = seen_ids.get(tid)
+        if prev is None or prev.hamming > hd:
+            seen_ids[tid] = det
+    return list(seen_ids.values())
 
 
 def refine_tag_homography(grayf, det: TagDetection, iterations: int = 25):
