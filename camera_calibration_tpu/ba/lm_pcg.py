@@ -113,6 +113,12 @@ class BAOptions:
     # framework's analog of the reference's scoped Timer registry
     # (libvis/timing.h:47).
     profile_dir: str | None = None
+    # Warm-start each PCG solve from the previous LM iteration's step
+    # (scan path only, where the delta is carried on-device).  Costs one
+    # extra matvec to form the initial residual; successive LM systems
+    # differ only in λ and the (small) block updates, so the previous
+    # step is usually an excellent initial iterate.
+    cg_warm_start: bool = False
 
 
 @dataclasses.dataclass
@@ -247,17 +253,23 @@ def _tree_dot(a, b):
     )
 
 
-def _flat_cg(matvec_flat, precond_flat, b_flat, options):
+def _flat_cg(matvec_flat, precond_flat, b_flat, options, x0=None):
     """Preconditioned CG on flat tangent vectors.
 
     The CG vector algebra (dots, axpys, masking) runs on single flat
     arrays: the structured pytree form costs ~8 leaves × several tiny
     ops per iteration, and on this runtime the while-loop body is
     dispatch-bound, not FLOP-bound.  Structured computation lives only
-    inside ``matvec_flat``/``precond_flat``.  Returns (x_flat, iters).
+    inside ``matvec_flat``/``precond_flat``.  ``x0`` warm-starts the
+    iteration (one extra matvec for the initial residual).
+    Returns (x_flat, iters).
     """
-    x = jnp.zeros_like(b_flat)
-    r = b_flat
+    if x0 is None:
+        x = jnp.zeros_like(b_flat)
+        r = b_flat
+    else:
+        x = x0
+        r = b_flat - matvec_flat(x0)
     z = precond_flat(r)
     p = z
     rz = jnp.vdot(r, z)
@@ -548,7 +560,7 @@ def _apply_jt_subset(data, blocks, s_list, state: BAState, *, rig=True,
 
 
 def schur_pcg_solve(data, blocks, state, grad, block_diag, lam, mask, options,
-                    eliminate: str = "points"):
+                    eliminate: str = "points", x0=None):
     """Solve (JᵀWJ + λI) δ = −grad by block elimination + PCG.
 
     eliminate="points": eliminate the 3×3 point blocks, PCG on the reduced
@@ -650,7 +662,12 @@ def schur_pcg_solve(data, blocks, state, grad, block_diag, lam, mask, options,
     b = _tree_map2(lambda g, c: -g + c, grad, corr)
     b_flat = ravel_pytree(b)[0] * mask_keep_flat
 
-    x_flat, iters = _flat_cg(matvec_flat, precond_flat, b_flat, options)
+    x0_flat = (
+        ravel_pytree(zero_elim(x0))[0] * mask_keep_flat
+        if x0 is not None else None
+    )
+    x_flat, iters = _flat_cg(matvec_flat, precond_flat, b_flat, options,
+                             x0=x0_flat)
     x = unravel(x_flat * mask_keep_flat)
 
     # back-substitution: δ_e = D⁻¹ (−g_e − Bᵀ δ_keep)
@@ -869,7 +886,8 @@ def schur_direct_solve(data, blocks, state, grad, block_diag, lam, mask,
     return _masked(x, mask), jnp.int32(0)
 
 
-def pcg_solve(data, blocks, state, grad, block_diag, lam, mask, options):
+def pcg_solve(data, blocks, state, grad, block_diag, lam, mask, options,
+              x0=None):
     """Solve (JᵀWJ + λI) δ = −grad with block-Jacobi preconditioning."""
     from jax.flatten_util import ravel_pytree
 
@@ -887,7 +905,9 @@ def pcg_solve(data, blocks, state, grad, block_diag, lam, mask, options):
         return zf * mask_flat
 
     b_flat = -ravel_pytree(grad)[0] * mask_flat
-    x_flat, iters = _flat_cg(matvec_flat, precond_flat, b_flat, options)
+    x0_flat = ravel_pytree(x0)[0] * mask_flat if x0 is not None else None
+    x_flat, iters = _flat_cg(matvec_flat, precond_flat, b_flat, options,
+                             x0=x0_flat)
     return unravel(x_flat * mask_flat), iters
 
 
@@ -934,7 +954,8 @@ def total_cost(data, state, warm_xy, options):
     return costs, valids, tuple(warms)
 
 
-def lm_step(state, warm_xy, lam, data, options: BAOptions, blocks=None):
+def lm_step(state, warm_xy, lam, data, options: BAOptions, blocks=None,
+            prev_delta=None):
     """One LM iteration (pure; jit over (state, warm_xy, lam, data)).
 
     When ``blocks`` (the residual/Jacobian cache evaluated at ``state``)
@@ -942,13 +963,15 @@ def lm_step(state, warm_xy, lam, data, options: BAOptions, blocks=None):
     test state instead of the cost-only pass — the test-state blocks
     double as the accept test AND as the next iteration's cache, so each
     LM iteration runs exactly one projection/Jacobian sweep instead of
-    two (blocks + cost).  Returns the carried blocks as the last output.
+    two (blocks + cost).  Returns the carried blocks and the step tangent
+    (for CG warm starts) as the last outputs.
     The reference evaluates cost twice per iteration
     (lm_optimizer.h:802-965); this restructuring is the TPU win of
     keeping the whole cache device-resident.
     """
     if blocks is None:
         return _lm_step_two_pass(state, warm_xy, lam, data, options)
+    x0 = prev_delta if options.cg_warm_start else None
     mask = fix_gauge_mask(state, options.freeze)
     grad = apply_jtw(data, blocks, [b.r for b in blocks], state)
     grad = _masked(grad, mask)
@@ -970,12 +993,12 @@ def lm_step(state, warm_xy, lam, data, options: BAOptions, blocks=None):
     if options.solver == "schur" and "points" not in options.freeze:
         delta, pcg_iters = schur_pcg_solve(
             data, blocks, state, grad, block_diag, lam, mask, options,
-            eliminate="points",
+            eliminate="points", x0=x0,
         )
     elif options.solver == "schur_poses" and "poses" not in options.freeze:
         delta, pcg_iters = schur_pcg_solve(
             data, blocks, state, grad, block_diag, lam, mask, options,
-            eliminate="poses",
+            eliminate="poses", x0=x0,
         )
     elif options.solver == "schur_direct" and "poses" not in options.freeze:
         delta, pcg_iters = schur_direct_solve(
@@ -990,7 +1013,8 @@ def lm_step(state, warm_xy, lam, data, options: BAOptions, blocks=None):
         )
     else:
         delta, pcg_iters = pcg_solve(
-            data, blocks, state, grad, block_diag, lam, mask, options
+            data, blocks, state, grad, block_diag, lam, mask, options,
+            x0=x0,
         )
     test_state = retract(state, delta)
     test_blocks, warm2 = compute_blocks(data, test_state, warm_xy, options)
@@ -1020,8 +1044,13 @@ def lm_step(state, warm_xy, lam, data, options: BAOptions, blocks=None):
     lam = jnp.maximum(
         jnp.where(accept, 0.5 * lam, 2.0 * lam), options.lambda_min
     )
+    # Rejected steps overshot (λ doubles): zero the warm-start carry so
+    # the retry solves the damped system from scratch.
+    delta = jax.tree_util.tree_map(
+        lambda d: jnp.where(accept, d, jnp.zeros_like(d)), delta
+    )
     return (state, warm, lam, accept, full_cost, new_full_cost, pcg_iters,
-            blocks)
+            blocks, delta)
 
 
 def _lm_step_two_pass(state, warm_xy, lam, data, options: BAOptions):
@@ -1131,16 +1160,18 @@ def make_lm_scan(options: BAOptions, n_steps: int, jit: bool = True):
 
     def scanned(state, warm, lam, data):
         blocks0, warm = compute_blocks(data, state, warm, options)
+        delta0 = zero_tangent(state)
 
         def body(carry, _):
-            state, warm, lam, blocks = carry
+            state, warm, lam, blocks, delta = carry
             (state, warm, lam, accept, cost, new_cost, iters,
-             blocks) = lm_step(state, warm, lam, data, options, blocks)
-            return (state, warm, lam, blocks), (accept, cost, new_cost,
-                                                iters)
+             blocks, delta) = lm_step(state, warm, lam, data, options,
+                                      blocks, prev_delta=delta)
+            return (state, warm, lam, blocks, delta), (accept, cost,
+                                                       new_cost, iters)
 
-        (state, warm, lam, _), outs = jax.lax.scan(
-            body, (state, warm, lam, blocks0), None, length=n_steps
+        (state, warm, lam, _, _), outs = jax.lax.scan(
+            body, (state, warm, lam, blocks0, delta0), None, length=n_steps
         )
         return state, warm, lam, outs
 
