@@ -6,10 +6,11 @@ LM count can drop under warm starts and whether warm-starting CG across
 LM iterations pays for its extra matvec.
 """
 
+import pathlib
 import sys
 import time
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 import jax
 import jax.numpy as jnp

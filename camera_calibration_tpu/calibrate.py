@@ -58,7 +58,7 @@ class CalibrateOptions:
     # trajectory of 10 on calibration-shaped problems while cutting the
     # dominant blocks-pass cost (measured: identical cost trajectory
     # through 30 iterations on the 262k-obs bench).
-    proj_iterations: int = 10
+    proj_iterations: int = 4
 
 
 def compute_grid_resolution(calib_w, calib_h, approx_pixels_per_cell,

@@ -368,3 +368,76 @@ def test_verify_cost_guards():
         lm_pcg.BAOptions(max_lm_iterations=2, debug_verify=True),
     )
     assert len(info["history"]) >= 1
+
+
+def test_cg_warm_start_converges_and_guard():
+    """CG warm-starting across LM iterations (scan path) reaches the same
+    optimum as cold starts, and _flat_cg returns immediately when x0 is
+    already the exact solution; a worse-than-zero x0 falls back to the
+    cold start (guard)."""
+    import jax.numpy as jnp
+
+    state_gt, obs, segments = ba_harness.make_problem(
+        seed=50, n_points=40, n_poses=8
+    )
+    state0 = ba_harness.perturb_state(state_gt, seed=51)
+    base = dict(max_lm_iterations=12, max_pcg_iterations=30,
+                cost_reduction_threshold=1e-9, lm_steps_per_call=4)
+    out_cold, _ = lm_pcg.optimize(
+        state0, obs, segments, lm_pcg.BAOptions(**base)
+    )
+    out_warm, _ = lm_pcg.optimize(
+        state0, obs, segments,
+        lm_pcg.BAOptions(cg_warm_start=True, **base),
+    )
+    e_cold = np.median(
+        np.asarray(ba_harness.reprojection_errors(out_cold, obs, segments))
+    )
+    e_warm = np.median(
+        np.asarray(ba_harness.reprojection_errors(out_warm, obs, segments))
+    )
+    assert e_cold < 1e-3 and e_warm < 1e-3, (e_cold, e_warm)
+
+    # _flat_cg with the exact solution as x0 needs zero iterations
+    import jax
+
+    a = jnp.asarray(np.diag([4.0, 3.0, 2.0, 1.0]), jnp.float64) + 0.1
+    b = jnp.asarray([1.0, -2.0, 0.5, 3.0], jnp.float64)
+    x_exact = jnp.linalg.solve(a, b)
+    options = lm_pcg.BAOptions(max_pcg_iterations=50,
+                               pcg_rel_tolerance=1e-6)
+    x, iters = lm_pcg._flat_cg(
+        lambda v: a @ v, lambda r: r, b, options, x0=x_exact
+    )
+    assert int(iters) == 0
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x_exact))
+
+    # a catastrophically bad x0 must not be worse than the cold start
+    x_bad = 1e6 * jnp.ones_like(b)
+    x_g, it_g = lm_pcg._flat_cg(
+        lambda v: a @ v, lambda r: r, b, options, x0=x_bad
+    )
+    x_c, it_c = lm_pcg._flat_cg(
+        lambda v: a @ v, lambda r: r, b, options
+    )
+    np.testing.assert_allclose(np.asarray(x_g), np.asarray(x_c), rtol=1e-10)
+
+
+def test_cg_warm_start_noop_warns():
+    """cg_warm_start silently does nothing on the step-per-call path and
+    with direct solvers; optimize() must say so (advisor finding)."""
+    state_gt, obs, segments = ba_harness.make_problem(
+        seed=52, n_points=30, n_poses=6
+    )
+    state0 = ba_harness.perturb_state(state_gt, seed=53)
+    with pytest.warns(UserWarning, match="cg_warm_start"):
+        lm_pcg.optimize(
+            state0, obs, segments,
+            lm_pcg.BAOptions(cg_warm_start=True, max_lm_iterations=1),
+        )
+    with pytest.warns(UserWarning, match="cg_warm_start"):
+        lm_pcg.optimize(
+            state0, obs, segments,
+            lm_pcg.BAOptions(cg_warm_start=True, solver="schur_direct",
+                             lm_steps_per_call=2, max_lm_iterations=2),
+        )
