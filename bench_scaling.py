@@ -1,28 +1,82 @@
 """Virtual-mesh scaling measurement (CPU; run as a subprocess of bench.py).
 
-Real multi-chip hardware is not attached, so GSPMD partitioning quality is
-measured on a virtual 8-device CPU mesh sharing the host's fixed cores:
+Real multi-chip hardware is not attached, so partitioning quality is
+measured on a virtual 8-device CPU mesh.  Wall-clock ratios on a fixed
+4-core host are NOT scaling efficiencies (an 8-way partitioned program
+can use the shared cores better or worse than XLA:CPU's intra-op
+threading of one big program, so wall ratios can exceed 1 by
+construction).  Instead this reports:
 
-- strong form: one jitted LM step on the SAME problem, 1 device vs
-  sharded over 8 virtual devices.  With fixed compute resources an
-  overhead-free partitioning gives a ratio t1/t8 of ~1.0; >1.0 means the
-  8-way partitioned program uses the cores better than XLA:CPU's
-  intra-op threading of the unsharded program (observed after batching
-  the window contractions: every extra contraction over the sharded
-  observation axis is an extra collective, so collective count per CG
-  matvec is the lever).
-- weak form: an 8x-observations problem sharded over 8 devices vs the
-  1x problem on 1 device; ideal = 8·t1, matching the north-star claim
-  shape ("500+ images sharded across hosts").
+- **weak-scaling efficiency in CPU-seconds**: total process CPU time of
+  one LM step on a per-device-sized problem on 1 device, ×8, divided by
+  the CPU time of the 8× problem sharded over 8 devices.  CPU-seconds
+  measure *work*, not core allocation, so perfect partitioning (no
+  duplicated or extra work, negligible collective cost) gives 1.0 and
+  every inefficiency (collectives, layout copies, padding, duplicated
+  compute) pushes it below 1.0.  This is the number comparable to the
+  ">=70% linear scaling" target; the interconnect term it cannot see is
+  bounded separately by the collective-traffic count below.
+- **collective traffic per step**, statically counted from the
+  GSPMD-partitioned HLO (op count and bytes of all-reduce/all-gather/
+  reduce-scatter/collective-permute/all-to-all).  On real ICI this is
+  the term that turns into communication time: bytes/step divided by
+  ICI bandwidth gives the lower-bound collective time share.
 
-Both are proxies for ICI scaling: they expose partitioning/collective
-overhead, not interconnect bandwidth.  Prints one JSON line.
+Prints one JSON line.
 """
 
 import json
 import os
+import re
 import sys
 import time
+
+
+_COLLECTIVE_OPS = (
+    "all-reduce",
+    "all-gather",
+    "reduce-scatter",
+    "collective-permute",
+    "all-to-all",
+)
+
+_DTYPE_BYTES = {
+    "f64": 8, "f32": 4, "bf16": 2, "f16": 2,
+    "s64": 8, "u64": 8, "s32": 4, "u32": 4,
+    "s16": 2, "u16": 2, "s8": 1, "u8": 1, "pred": 1,
+}
+
+_SHAPE_RE = re.compile(r"(\w+)\[([\d,]*)\]")
+
+
+def _hlo_collective_stats(hlo_text):
+    """Count collective instructions and their output bytes in a
+    partitioned HLO module (static per-executable, i.e. per step-call)."""
+    count = 0
+    total_bytes = 0
+    for line in hlo_text.splitlines():
+        s = line.strip()
+        if " = " not in s:
+            continue
+        rhs = s.split(" = ", 1)[1]
+        op = rhs.split("(", 1)[0].strip()
+        # strip shape prefix: "f32[256,6]{1,0} all-reduce"
+        parts = op.rsplit(" ", 1)
+        opname = parts[-1]
+        if opname not in _COLLECTIVE_OPS:
+            continue
+        count += 1
+        for m in _SHAPE_RE.finditer(rhs.split("(", 1)[0]):
+            dt, dims = m.group(1), m.group(2)
+            if dt not in _DTYPE_BYTES:
+                continue
+            n = 1
+            for d in dims.split(","):
+                if d:
+                    n *= int(d)
+            total_bytes += n * _DTYPE_BYTES[dt]
+            break
+    return count, total_bytes
 
 
 def main():
@@ -45,15 +99,18 @@ def main():
     lam = jnp.asarray(1.0, jnp.float32)
 
     def time_step(state_, warm_, lam_, data_):
+        """(min wall s, min CPU s) of one fully-synced step call."""
         out = step(state_, warm_, lam_, data_)
         jax.block_until_ready(out)
-        ts = []
-        for _ in range(6):  # min of 6: the shared-core timing is noisy
+        walls, cpus = [], []
+        for _ in range(6):  # min of 6: shared-core timing is noisy
+            c0 = time.process_time()
             t0 = time.perf_counter()
             out = step(state_, warm_, lam_, data_)
             float(out[4])
-            ts.append(time.perf_counter() - t0)
-        return min(ts)
+            walls.append(time.perf_counter() - t0)
+            cpus.append(time.process_time() - c0)
+        return min(walls), min(cpus)
 
     mesh = sharding.make_mesh(jax.devices()[:8])
 
@@ -67,24 +124,45 @@ def main():
             data_sh,
         )
 
+    # Per-device problem (96 poses) and the 8x weak problem (768 poses).
     state, data = ge._make_problem(
         w=640, h=480, gres=16, n_points=512, n_poses=96, n_cameras=1
     )
     warm = tuple(s.pixel for s in data)
-    t1 = time_step(state, warm, lam, data)
-    t8 = time_step(*sharded(state, data))
+    wall1, cpu1 = time_step(state, warm, lam, data)
 
     state_w, data_w = ge._make_problem(
         w=640, h=480, gres=16, n_points=512, n_poses=768, n_cameras=1
     )
-    t8_weak = time_step(*sharded(state_w, data_w))
+    args_w = sharded(state_w, data_w)
+    wall8, cpu8 = time_step(*args_w)
+
+    # Weak-scaling efficiency in CPU-seconds: work-normalized, so perfect
+    # partitioning = 1.0 and overheads push it down.  (Can exceed 1
+    # slightly through cache effects; clamp the headline to [0,1].)
+    raw_eff = 8.0 * cpu1 / max(cpu8, 1e-9)
+    efficiency = max(0.0, min(1.0, raw_eff))
+
+    # Static collective traffic of the partitioned step executable.
+    coll_count, coll_bytes = 0, 0
+    try:
+        lowered = jax.jit(
+            lambda s, w, l, d: step(s, w, l, d)
+        ).lower(*args_w)
+        hlo = lowered.compile().as_text()
+        coll_count, coll_bytes = _hlo_collective_stats(hlo)
+    except Exception:
+        pass
 
     print(json.dumps({
-        "t_1dev_s": round(t1, 4),
-        "t_8dev_s": round(t8, 4),
-        "t_8dev_8x_obs_s": round(t8_weak, 4),
-        "gspmd_efficiency": round(t1 / t8, 3),
-        "gspmd_weak_efficiency": round(8 * t1 / t8_weak, 3),
+        "scaling_weak_efficiency": round(efficiency, 3),
+        "scaling_weak_efficiency_raw": round(raw_eff, 3),
+        "cpu_s_1dev": round(cpu1, 4),
+        "cpu_s_8dev_8x": round(cpu8, 4),
+        "wall_s_1dev": round(wall1, 4),
+        "wall_s_8dev_8x": round(wall8, 4),
+        "collective_ops_per_step": coll_count,
+        "collective_mb_per_step": round(coll_bytes / 1e6, 3),
     }))
 
 

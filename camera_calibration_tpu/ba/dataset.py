@@ -65,6 +65,56 @@ class Dataset:
                     m = max(m, f.feature_id)
         return m + 1
 
+    def merge(self, other: "Dataset") -> None:
+        """Merge another dataset into this one for joint calibration.
+
+        Each merged recording's pattern sheets are treated as *new* known
+        geometries: the other dataset's feature IDs are offset past this
+        dataset's current maximum so corners from physically distinct
+        pattern printouts never alias, and its imagesets are appended
+        (reference: dataset.cc:77-126 Dataset::Merge).
+
+        Raises ValueError on camera-count or image-size mismatch (the
+        reference returns false for both).
+        """
+        if self.num_cameras != other.num_cameras:
+            raise ValueError(
+                f"cannot merge datasets with {self.num_cameras} vs "
+                f"{other.num_cameras} cameras"
+            )
+        for ci in range(self.num_cameras):
+            if tuple(self.image_sizes[ci]) != tuple(other.image_sizes[ci]):
+                raise ValueError(
+                    f"camera {ci} image size mismatch: "
+                    f"{self.image_sizes[ci]} vs {other.image_sizes[ci]}"
+                )
+        offset = self.feature_id_count()
+        for g in other.known_geometries:
+            self.known_geometries.append(
+                KnownGeometry(
+                    cell_length_in_meters=g.cell_length_in_meters,
+                    feature_id_to_position={
+                        fid + offset: pos
+                        for fid, pos in g.feature_id_to_position.items()
+                    },
+                )
+            )
+        for s in other.imagesets:
+            self.imagesets.append(
+                Imageset(
+                    features=[
+                        [
+                            PointFeature(
+                                xy=np.asarray(f.xy), feature_id=f.feature_id + offset
+                            )
+                            for f in feats
+                        ]
+                        for feats in s.features
+                    ],
+                    filenames=list(s.filenames) if s.filenames else None,
+                )
+            )
+
 
 def _obs_dataclass(cls):
     cls = dataclasses.dataclass(frozen=True)(cls)

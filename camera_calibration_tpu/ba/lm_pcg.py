@@ -1205,13 +1205,17 @@ def maybe_grid_layout(data, state: BAState, options: BAOptions):
         return data
     m = state.rig_q_global.shape[0]
     p = state.points.shape[0]
+    # The direct Schur solvers assemble the reduced system from the grid
+    # table; they need the dense layout regardless of fill ratio (the
+    # reduced-dim^2 memory they already commit to dwarfs the table pad).
+    force = options.solver in ("schur_direct", "schur_direct_points")
     out = []
     for seg in data:
         if seg.grid_shape is not None:
             out.append(seg)
             continue
         n_valid = int(np.asarray(jnp.sum(seg.valid)))
-        if m * p <= options.grid_layout_max_expand * max(n_valid, 1):
+        if force or m * p <= options.grid_layout_max_expand * max(n_valid, 1):
             out.append(to_grid_layout(seg, m, p))
         else:
             out.append(seg)
@@ -1241,6 +1245,19 @@ def optimize(
     if data is None:
         data = split_by_camera(obs, segments)
         data = maybe_grid_layout(data, state, options)
+    else:
+        # Directly-passed tables get the same layout optimization, but
+        # only when unsharded: a caller that sharded its own data chose
+        # its layout (re-laying would gather to one device).
+        def _unsharded(seg):
+            return all(
+                len(x.devices()) == 1
+                for x in jax.tree_util.tree_leaves(seg)
+                if hasattr(x, "devices")
+            )
+
+        if all(_unsharded(seg) for seg in data):
+            data = maybe_grid_layout(data, state, options)
     if options.debug_verify:
         verify_cost(state, data, options)
     k = max(1, int(options.lm_steps_per_call))

@@ -48,7 +48,9 @@ def window_pallas_enabled(dtype) -> bool:
     if dtype != jnp.float32:
         return False
     try:
-        return jax.default_backend() != "cpu"
+        from camera_calibration_tpu.config import effective_backend
+
+        return effective_backend() != "cpu"
     except Exception:  # pragma: no cover
         return False
 

@@ -59,6 +59,22 @@ class CalibrateOptions:
     # dominant blocks-pass cost (measured: identical cost trajectory
     # through 30 iterations on the 262k-obs bench).
     proj_iterations: int = 4
+    # Solver mode — the user surface for the reference's --schur_mode
+    # family (Readme.md:330-352).  See BAOptions.solver for the five
+    # modes; "schur_direct" (exact reduced Newton step) wins
+    # time-to-convergence on small/medium problems, the Schur-PCG
+    # default wins at scale.
+    solver: str = "schur"
+    # Memory-bounded streaming: evaluate residual/Jacobian blocks in
+    # lax.map chunks of this many observations — the analog of the
+    # reference's on-the-fly SchurModes (lm_optimizer.h:297-307).
+    block_chunk: int | None = None
+    # Mixed-precision polish: after the (fast, f32-on-chip) pipeline,
+    # run this many LM iterations in float64 on the host CPU to secure
+    # the final RMSE — the reference follows its f32 CUDA BA with 10
+    # CPU f64 iterations (calibration.cc:1127-1133).  0 disables; no-op
+    # when the state is already float64.
+    polish_iterations: int = 0
 
 
 def compute_grid_resolution(calib_w, calib_h, approx_pixels_per_cell,
@@ -199,6 +215,65 @@ def scale_to_metric(state: BAState, known_geometries, feature_id_to_point_index)
     return scale_state(state, factor), factor
 
 
+def cast_floating(tree, dtype, device=None):
+    """Cast every floating-point leaf of a pytree (e.g. BAState or
+    observation tables) to ``dtype``, optionally committing to ``device``.
+    Integer index arrays and static metadata are untouched."""
+    import jax
+
+    def cast(x):
+        x = jnp.asarray(x)
+        # move FIRST: widening to f64 must not execute on an accelerator
+        # that lacks 64-bit support (the TPU compiler rejects f64).
+        if device is not None:
+            x = jax.device_put(x, device)
+        if jnp.issubdtype(x.dtype, jnp.floating):
+            x = x.astype(dtype)
+        return x
+
+    return jax.tree_util.tree_map(cast, tree)
+
+
+def polish_float64(state, data, options: CalibrateOptions,
+                   callback=None, state_saver=None, log=print):
+    """Float64 CPU polish of a float32 calibration.
+
+    The TPU path runs in float32 (f32 is the chip's native precision and
+    what the Pallas kernels require); like the reference's f32 CUDA BA,
+    it is followed by a few float64 LM iterations on the host CPU to
+    secure the final RMSE (reference: calibration.cc:1127-1133 runs 10
+    CPU iterations at threshold 1e-4 after the CUDA pass).
+
+    Enables jax_enable_x64 AND pins jax_default_device to the CPU — both
+    global, sticky JAX flags.  The pin is required on TPU machines: the
+    TPU runtime fatally rejects 64-bit layouts, and with x64 enabled even
+    index staging produces int64, so every post-polish array creation
+    must land on the CPU backend (the accelerator's work — the f32
+    phases — is complete by the time polish runs).
+    Returns (state64, info) — the state stays float64 for saving/report.
+    """
+    import jax
+
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        log("[calibrate] no CPU backend available; skipping f64 polish")
+        return state, None
+    jax.config.update("jax_enable_x64", True)
+    jax.config.update("jax_default_device", cpu)
+    state64 = cast_floating(state, jnp.float64, device=cpu)
+    if state64.points.dtype != jnp.float64:
+        log("[calibrate] float64 unavailable; skipping polish")
+        return state, None
+    data64 = cast_floating(data, jnp.float64, device=cpu)
+    with jax.default_device(cpu):
+        state64, info = run_ba(
+            state64, data64, options.polish_iterations, 1e-4, options,
+            callback=callback, state_saver=state_saver,
+        )
+    return state64, info
+
+
 def run_ba(state, data, max_iterations, cost_reduction_threshold, options,
            callback=None, state_saver=None):
     ba_opts = lm_pcg.BAOptions(
@@ -210,6 +285,8 @@ def run_ba(state, data, max_iterations, cost_reduction_threshold, options,
         lm_steps_per_call=max(1, int(options.lm_steps_per_call)),
         cg_warm_start=options.cg_warm_start,
         proj_iterations=options.proj_iterations,
+        solver=options.solver,
+        block_chunk=options.block_chunk,
     )
 
     def cb(entry, st):
@@ -352,6 +429,32 @@ def calibrate(
             f"{solver_report.step_seconds:.2f}s steps "
             f"+ {solver_report.first_call_seconds:.2f}s first call"
         )
+
+    # mixed-precision mode: f64 CPU polish after the f32-on-chip phases
+    # (reference: calibration.cc:1127-1133)
+    if (options.polish_iterations > 0
+            and state.points.dtype == jnp.float32):
+        state, pinfo = polish_float64(
+            state, data, options,
+            callback=vis_callback, state_saver=state_saver, log=log,
+        )
+        if pinfo is not None:
+            import jax
+
+            data = cast_floating(
+                data, jnp.float64, device=jax.devices("cpu")[0]
+            )
+            if pinfo["final_cost"] is not None:
+                report["final_cost_f32"] = report["final_cost"]
+                report["polish_cost"] = pinfo["final_cost"]
+                pre = report["final_cost"]
+                log(
+                    f"[calibrate] f64 polish "
+                    f"({options.polish_iterations} iters): cost "
+                    f"{pre if pre is None else format(pre, '.6g')} -> "
+                    f"{pinfo['final_cost']:.6g}"
+                )
+                report["final_cost"] = pinfo["final_cost"]
 
     # reference skips metric scaling in localize-only mode
     # (calibration.cc:1136-1139)

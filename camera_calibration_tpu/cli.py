@@ -98,6 +98,15 @@ def cmd_calibrate(args):
 
     if args.dtype == "float64":
         jax.config.update("jax_enable_x64", True)
+        # On TPU machines the accelerator runtime fatally rejects 64-bit
+        # layouts; the f64 path is the CPU-class path, so pin all work to
+        # the CPU backend (mirrors calibrate.polish_float64).
+        try:
+            jax.config.update(
+                "jax_default_device", jax.devices("cpu")[0]
+            )
+        except RuntimeError:
+            pass
     import jax.numpy as jnp
     import numpy as np
 
@@ -109,7 +118,13 @@ def cmd_calibrate(args):
     from camera_calibration_tpu.init.state_init import build_ba_state
     from camera_calibration_tpu.io import dataset_bin, state_io
 
+    # "mixed" (the default) = float32 pipeline on the accelerator
+    # followed by float64 CPU polish iterations (calibrate.polish_float64,
+    # reference: calibration.cc:1127-1133).
     dtype = jnp.float64 if args.dtype == "float64" else jnp.float32
+    polish_iterations = (
+        args.polish_iterations if args.dtype == "mixed" else 0
+    )
 
     visualizer = None
     if getattr(args, "live_directory", None):
@@ -121,7 +136,16 @@ def cmd_calibrate(args):
 
     # 1. dataset
     if args.dataset_files:
-        dataset = dataset_bin.load_dataset(args.dataset_files)
+        # comma-separated files merge into one joint-calibration dataset
+        # (reference: Dataset::Merge, dataset.cc:77-126)
+        dataset = dataset_bin.load_datasets(args.dataset_files)
+        n_merged = len(args.dataset_files.split(","))
+        if n_merged > 1:
+            print(
+                f"[dataset] merged {n_merged} files: "
+                f"{len(dataset.imagesets)} imagesets, "
+                f"{len(dataset.known_geometries)} known geometries"
+            )
     else:
         if not (args.image_directories and args.pattern_files):
             print("need --dataset_files or --image_directories + --pattern_files")
@@ -185,6 +209,11 @@ def cmd_calibrate(args):
             final_iterations=args.final_iterations,
             freeze=("points", "intrinsics") if args.localize_only else (),
             lm_steps_per_call=args.lm_steps_per_call,
+            solver=args.solver,
+            block_chunk=args.block_chunk,
+            cg_warm_start=args.cg_warm_start,
+            proj_iterations=args.proj_iterations,
+            polish_iterations=polish_iterations,
         )
         if len(used) < state.rig_q_global.shape[0]:
             used = list(used) + [True] * (
@@ -259,6 +288,11 @@ def cmd_calibrate(args):
         final_iterations=args.final_iterations,
         freeze=("points", "intrinsics") if args.localize_only else (),
         lm_steps_per_call=args.lm_steps_per_call,
+        solver=args.solver,
+        block_chunk=args.block_chunk,
+        cg_warm_start=args.cg_warm_start,
+        proj_iterations=args.proj_iterations,
+        polish_iterations=polish_iterations,
     )
     state, data, rep = cal.calibrate(
         state,
@@ -385,7 +419,7 @@ def cmd_report(args):
     )
 
     state, used, fid_map = state_io.load_ba_state(args.state_directory)
-    dataset = dataset_bin.load_dataset(args.dataset_files)
+    dataset = dataset_bin.load_datasets(args.dataset_files)
     # build per-camera observation tables
     from camera_calibration_tpu.init.state_init import build_ba_state  # noqa
     import numpy as np
@@ -1132,7 +1166,7 @@ def cmd_export_colmap(args):
 
     state, used, fid_map = state_io.load_ba_state(args.state_directory)
     dataset = (
-        dataset_bin.load_dataset(args.dataset_files)
+        dataset_bin.load_datasets(args.dataset_files)
         if args.dataset_files
         else None
     )
@@ -1199,8 +1233,48 @@ def main(argv=None):
         "--lm_steps_per_call", type=int, default=1,
         help="LM iterations fused per device call (lax.scan); >1 amortizes remote-dispatch latency, checkpoints every k-th iteration",
     )
-    p.add_argument("--dtype", default="float64",
-                   choices=["float32", "float64"])
+    p.add_argument(
+        "--dtype", default="mixed",
+        choices=["mixed", "float32", "float64"],
+        help="mixed (default) runs the pipeline in float32 on the "
+             "accelerator (engaging the Pallas kernels) and finishes "
+             "with float64 CPU polish iterations, like the reference's "
+             "CUDA BA + CPU polish (calibration.cc:1127-1133); float64 "
+             "runs everything in f64 (CPU-class path); float32 skips "
+             "the polish",
+    )
+    p.add_argument(
+        "--polish_iterations", type=int, default=10,
+        help="float64 CPU LM iterations after the f32 pipeline "
+             "(mixed dtype only; reference runs 10)",
+    )
+    p.add_argument(
+        "--solver", default="schur",
+        choices=["schur", "schur_poses", "schur_direct",
+                 "schur_direct_points", "pcg"],
+        help="BA solver mode (the reference's --schur_mode family, "
+             "Readme.md:330-352): schur/schur_poses = point/pose "
+             "elimination + PCG on the reduced system; schur_direct[_points] "
+             "= explicit reduced system + dense Cholesky (exact Newton "
+             "step; fastest to converge on small/medium problems, memory "
+             "~ reduced-dim^2); pcg = full-system PCG",
+    )
+    p.add_argument(
+        "--block_chunk", type=int, default=None,
+        help="evaluate residual/Jacobian blocks in chunks of this many "
+             "observations to bound memory (the reference's on-the-fly "
+             "SchurModes); must divide the padded table size",
+    )
+    p.add_argument(
+        "--cg_warm_start", action="store_true",
+        help="warm-start each PCG solve from the previous LM step "
+             "(needs --lm_steps_per_call > 1 and a PCG solver mode)",
+    )
+    p.add_argument(
+        "--proj_iterations", type=int, default=4,
+        help="projection LM iterations per blocks sweep (warm-started; "
+             "4 matches the converged trajectory of 10 at ~half the cost)",
+    )
     p.add_argument("--report", action="store_true")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument(

@@ -28,4 +28,22 @@ def configure_precision() -> None:
         jax.config.update("jax_default_matmul_precision", "highest")
 
 
+def effective_backend() -> str:
+    """Platform that uncommitted computations actually run on.
+
+    ``jax.default_backend()`` reports the highest-priority platform even
+    when ``jax_default_device`` pins execution elsewhere (the
+    mixed-precision polish pins the CPU backend on TPU machines so f64
+    work never reaches the 32-bit-only TPU runtime); Pallas-kernel gates
+    must follow the pin, not the platform list.
+    """
+    dd = jax.config.jax_default_device
+    if dd is not None:
+        platform = getattr(dd, "platform", None)
+        if platform is not None:
+            return platform
+        return str(dd)
+    return jax.default_backend()
+
+
 configure_precision()

@@ -58,6 +58,29 @@ def save_dataset(path, dataset: Dataset):
                 f.write(struct.pack("<iii", int(fid), int(pos[0]), int(pos[1])))
 
 
+def load_datasets(paths) -> Dataset:
+    """Load one or more dataset.bin files and merge them for joint
+    calibration.
+
+    ``paths`` may be a single path, a comma-separated string, or a list.
+    Later files' feature IDs are offset so pattern sheets from different
+    recordings stay distinct (reference: Dataset::Merge, dataset.cc:77-126,
+    driven by the multi-file --dataset_files flag, main.cc).
+    """
+    if isinstance(paths, str):
+        paths = [p for p in paths.split(",") if p]
+    merged = None
+    for p in paths:
+        ds = load_dataset(p)
+        if merged is None:
+            merged = ds
+        else:
+            merged.merge(ds)
+    if merged is None:
+        raise ValueError("no dataset files given")
+    return merged
+
+
 def load_dataset(path) -> Dataset:
     with open(path, "rb") as f:
         data = f.read()

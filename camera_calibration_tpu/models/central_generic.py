@@ -180,7 +180,9 @@ def pallas_projection_enabled(model: CentralGenericModel, dtype) -> bool:
     if dtype != jnp.float32 or model.grid.dtype != jnp.float32:
         return False
     try:
-        return jax.default_backend() != "cpu"
+        from camera_calibration_tpu.config import effective_backend
+
+        return effective_backend() != "cpu"
     except Exception:  # pragma: no cover - backend probing never raises
         return False
 

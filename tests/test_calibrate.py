@@ -217,3 +217,56 @@ def test_calibration_report_noncentral_extras(tmp_path):
         assert (tmp_path / f"report_camera0{suffix}").exists(), suffix
     obj = (tmp_path / "report_camera0_lines.obj").read_text()
     assert obj.count("\nl ") > 100
+
+
+def test_mixed_precision_polish_certifies_error():
+    """f32-on-chip phases + f64 CPU polish as ONE calibrate run
+    (reference: f32 CUDA BA then 10 CPU f64 iterations,
+    calibration.cc:1127-1133).  On noisy data the polish must not
+    increase — and should certify or reduce — the final cost/median."""
+    import jax.numpy as jnp
+
+    state_gt, obs, segments, geometry, fid_to_idx = _grid_pattern_problem(
+        seed=5, n_poses=10
+    )
+    data = split_by_camera(obs, segments)
+    # measurement noise so the f32/f64 floors are distinguishable
+    rng = np.random.default_rng(11)
+    pix = np.asarray(data[0].pixel) + rng.normal(0, 0.05, data[0].pixel.shape)
+    data = (
+        ObservationTable(
+            imageset=data[0].imageset,
+            camera=data[0].camera,
+            point=data[0].point,
+            pixel=jnp.asarray(pix),
+            valid=data[0].valid,
+        ),
+    )
+
+    state0 = ba_harness.perturb_state(state_gt, seed=3, pose_rot=0.01,
+                                      pose_t=0.005, point_sigma=0.002,
+                                      knot_sigma=5e-4)
+    # f32 inputs: the dtype the accelerator path runs
+    state0 = cal.cast_floating(state0, jnp.float32)
+    data32 = cal.cast_floating(data, jnp.float32)
+
+    options = cal.CalibrateOptions(
+        num_pyramid_levels=1,
+        outlier_removal_factor=0.0,
+        final_iterations=25,
+        polish_iterations=6,
+    )
+    state, data2, report = cal.calibrate(
+        state0, data32, options,
+        known_geometries=[geometry],
+        feature_id_to_point_index=fid_to_idx,
+        log=lambda *a: None,
+    )
+    # polish ran and handed back a float64 state
+    assert state.points.dtype == jnp.float64
+    assert "polish_cost" in report, report
+    # certify-or-reduce: the f64 cost never exceeds the f32 result
+    # (small slack for the f32->f64 re-evaluation of the same state)
+    assert report["polish_cost"] <= report["final_cost_f32"] * 1.001 + 1e-9, report
+    # still a good calibration despite the injected noise
+    assert report["reprojection_error_median"] < 0.1, report

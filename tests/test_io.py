@@ -119,3 +119,75 @@ def test_parametric_and_noncentral_model_roundtrip(tmp_path):
     np.testing.assert_allclose(
         np.asarray(nc2.point_grid), np.asarray(nc.point_grid), atol=1e-12
     )
+
+
+def _mini_dataset(fid0=0, xy0=1.0):
+    return Dataset(
+        num_cameras=1,
+        image_sizes=[(640, 480)],
+        imagesets=[
+            Imageset(
+                features=[[
+                    PointFeature(xy=np.array([xy0, xy0 + 1]), feature_id=fid0),
+                    PointFeature(xy=np.array([xy0 + 2, xy0 + 3]),
+                                 feature_id=fid0 + 1),
+                ]],
+                filenames=["a.png"],
+            )
+        ],
+        known_geometries=[
+            KnownGeometry(
+                cell_length_in_meters=0.01,
+                feature_id_to_position={fid0: (0, 0), fid0 + 1: (1, 0)},
+            )
+        ],
+    )
+
+
+def test_dataset_merge_offsets_feature_ids(tmp_path):
+    """Dataset.merge treats each file's pattern sheets as new known
+    geometries with offset feature IDs (reference: dataset.cc:77-126)."""
+    a = _mini_dataset(fid0=0, xy0=1.0)
+    b = _mini_dataset(fid0=0, xy0=100.0)
+    a.merge(b)
+    assert len(a.imagesets) == 2
+    assert len(a.known_geometries) == 2
+    # b's IDs offset past a's max (1) -> offset 2
+    merged_ids = sorted(
+        f.feature_id for f in a.imagesets[1].features[0]
+    )
+    assert merged_ids == [2, 3]
+    assert set(a.known_geometries[1].feature_id_to_position) == {2, 3}
+    # positions preserved
+    assert a.known_geometries[1].feature_id_to_position[2] == (0, 0)
+    # no ID collisions overall
+    all_ids = [
+        f.feature_id for s in a.imagesets for fl in s.features for f in fl
+    ]
+    assert len(all_ids) == len(set(all_ids))
+
+    # mismatched cameras / sizes refuse to merge (reference returns false)
+    import pytest
+
+    c = _mini_dataset()
+    c.num_cameras = 2
+    with pytest.raises(ValueError):
+        a.merge(c)
+    d = _mini_dataset()
+    d.image_sizes = [(100, 100)]
+    with pytest.raises(ValueError):
+        a.merge(d)
+
+
+def test_load_datasets_merges_files(tmp_path):
+    pa, pb = tmp_path / "a.bin", tmp_path / "b.bin"
+    dataset_bin.save_dataset(pa, _mini_dataset(fid0=0))
+    dataset_bin.save_dataset(pb, _mini_dataset(fid0=0, xy0=50.0))
+    merged = dataset_bin.load_datasets(f"{pa},{pb}")
+    assert len(merged.imagesets) == 2
+    assert len(merged.known_geometries) == 2
+    ids1 = {f.feature_id for f in merged.imagesets[1].features[0]}
+    assert ids1 == {2, 3}
+    # single path still works
+    one = dataset_bin.load_datasets(str(pa))
+    assert len(one.imagesets) == 1
