@@ -616,8 +616,16 @@ def cmd_render_synthetic(args):
             spec, np.linalg.inv(h_pp), (w, h), supersample=3,
             tag_renderer=renderer,
         )
-        if args.noise > 0:
-            img = np.clip(img + rng.normal(0, args.noise, img.shape), 0, 1)
+        from camera_calibration_tpu.features.degrade import degrade
+
+        img = degrade(
+            img, rng,
+            vignetting=args.vignetting,
+            defocus_sigma=args.defocus_sigma,
+            jpeg_quality=args.jpeg_quality,
+            exposure_drift=args.exposure_drift,
+            noise=args.noise,
+        )
         cv2.imwrite(
             os.path.join(args.output_directory, f"synthetic_{i:04d}.png"),
             (img * 255).astype(np.uint8),
@@ -1425,6 +1433,17 @@ def main(argv=None):
     p.add_argument("--min_z", type=float, default=0.45)
     p.add_argument("--max_z", type=float, default=0.75)
     p.add_argument("--noise", type=float, default=0.01)
+    p.add_argument("--vignetting", type=float, default=0.0,
+                   help="radial falloff strength (0-1; ~0.35 is a strong "
+                        "lens vignette)")
+    p.add_argument("--defocus_sigma", type=float, default=0.0,
+                   help="Gaussian PSF sigma in pixels")
+    p.add_argument("--jpeg_quality", type=int, default=0,
+                   help="round-trip through JPEG at this quality "
+                        "(1-99; 0 = lossless PNG only)")
+    p.add_argument("--exposure_drift", type=float, default=0.0,
+                   help="per-frame random gain/offset amplitude "
+                        "(e.g. 0.2 = +/-20% gain)")
     p.add_argument("--seed", type=int, default=0)
     p.set_defaults(func=cmd_render_synthetic)
 

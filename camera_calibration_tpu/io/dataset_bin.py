@@ -54,7 +54,11 @@ def save_dataset(path, dataset: Dataset):
         for g in dataset.known_geometries:
             f.write(struct.pack("<f", g.cell_length_in_meters))
             f.write(struct.pack("<I", len(g.feature_id_to_position)))
-            for fid, pos in g.feature_id_to_position.items():
+            # sorted by feature id: the reference iterates an
+            # unordered_map (nondeterministic bytes); any order is
+            # readable by both tools, sorting makes ours reproducible
+            for fid in sorted(g.feature_id_to_position):
+                pos = g.feature_id_to_position[fid]
                 f.write(struct.pack("<iii", int(fid), int(pos[0]), int(pos[1])))
 
 
