@@ -67,3 +67,48 @@ for run in range(2):
         f"({dt / max(len(features), 1) * 1e3:.2f} ms/feature), "
         f"median err {np.median(errs):.4f} px"
     )
+
+# --- cross-image batch: rings of all images share each device call ---
+n_batch = 8
+print(f"\nrendering {n_batch - 1} more views for the batch ...")
+imgs, gts = [img], [gt]
+for k in range(1, n_batch):
+    a = 0.03 + 0.012 * k
+    c, s = np.cos(a), np.sin(a)
+    h_k = np.array(
+        [
+            [square_px * c, -square_px * s, (2.2 + 0.08 * k) * square_px],
+            [square_px * s, square_px * c, (2.0 + 0.05 * k) * square_px],
+            [persp, -persp, 1.0],
+        ]
+    )
+    imgs.append(
+        pat.render_pattern(
+            spec, np.linalg.inv(h_k), (w, h), supersample=3,
+            tag_renderer=pat.make_tag_renderer(spec),
+        )
+    )
+    gk = {}
+    for coord in spec.valid_feature_coords():
+        q = h_k @ np.array([coord[0], coord[1], 1.0])
+        gk[coord] = q[:2] / q[2]
+    gts.append(gk)
+
+det_b = fdet.FeatureDetector([spec])
+for run in range(2):
+    t0 = time.perf_counter()
+    results = det_b.detect_batch(imgs)
+    dt = time.perf_counter() - t0
+    n_feats = sum(len(r[0]) for r in results)
+    errs = []
+    for (feats, dets), gk in zip(results, gts):
+        for coord, d in dets[0].items():
+            errs.append(np.linalg.norm(np.asarray(d.position) + 0.5 - gk[coord]))
+    errs = np.array(errs)
+    tag = "batch cold" if run == 0 else "batch warm"
+    print(
+        f"{tag}: {n_feats}/{n_batch * len(gt)} features over {n_batch} "
+        f"images in {dt:.1f}s ({dt / n_batch:.2f} s/image, "
+        f"{dt / max(n_feats, 1) * 1e3:.2f} ms/feature), "
+        f"median err {np.median(errs):.4f} px"
+    )

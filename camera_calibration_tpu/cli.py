@@ -55,25 +55,34 @@ def _detect_dataset(image_dirs, pattern_files, options, log=print,
     n_sets = min(len(f) for f in per_cam_files)
     n_cameras = len(image_dirs)
 
+    # batch each camera's images: growth rings of all images share the
+    # device calls (features.detector.detect_batch)
     image_sizes = []
-    imagesets = []
-    for si in range(n_sets):
-        feats_per_cam = []
-        names = []
-        for ci in range(n_cameras):
-            img = _load_gray(per_cam_files[ci][si])
-            if si == 0:
-                image_sizes.append((img.shape[1], img.shape[0]))
-            features, _ = det.detect(img)
+    per_cam_features = []
+    for ci in range(n_cameras):
+        imgs = [_load_gray(per_cam_files[ci][si]) for si in range(n_sets)]
+        image_sizes.append((imgs[0].shape[1], imgs[0].shape[0]))
+        results = det.detect_batch(imgs)
+        feats = []
+        for si, (features, _) in enumerate(results):
             log(
                 f"[detect] camera {ci} image {si}: {len(features)} features"
                 f" ({os.path.basename(per_cam_files[ci][si])})"
             )
             if visualizer is not None:
-                visualizer.update_feature_detection(ci, img, features)
-            feats_per_cam.append(features)
-            names.append(os.path.basename(per_cam_files[ci][si]))
-        imagesets.append(Imageset(features=feats_per_cam, filenames=names))
+                visualizer.update_feature_detection(ci, imgs[si], features)
+            feats.append(features)
+        per_cam_features.append(feats)
+    imagesets = [
+        Imageset(
+            features=[per_cam_features[ci][si] for ci in range(n_cameras)],
+            filenames=[
+                os.path.basename(per_cam_files[ci][si])
+                for ci in range(n_cameras)
+            ],
+        )
+        for si in range(n_sets)
+    ]
 
     geoms = []
     for pi, spec in enumerate(patterns):

@@ -59,6 +59,10 @@ class DetectorOptions:
     collinearity_length_ratio: float = 1.5  # cc:100-135
     collinearity_max_angle_deg: float = 5.0
     seed: int = 0
+    # detect_batch device-memory bound: images are processed in chunks so
+    # the stacked (B, H, W) image tensor stays under this many pixels
+    # (~256 MB at f32 by default)
+    max_batch_pixels: int = 64 * 1024 * 1024
 
 
 @dataclasses.dataclass
@@ -214,13 +218,15 @@ class FeatureDetector:
     # --------------- refinement of one batch of predictions ---------------
 
     def _refine_batch(self, image, image_j, grad_j, predictions, h_locals,
-                      spec):
+                      spec, image_idx=None):
         """Refine predicted positions. Returns (positions, costs, ok).
 
         Intensity mode runs the patch-resident fast path (hat-weight MXU
         sampling, patch_refinement.py); gradient-pair mode falls back to
         the whole-image implementation.  Batches are padded to power-of-two
-        buckets so each bucket compiles once.
+        buckets so each bucket compiles once.  image_j may be a stacked
+        (B, H, W) dataset batch with per-feature ``image_idx`` —
+        cross-image ring batching (see detect_batch).
         """
         opts = self.opts
         n = predictions.shape[0]
@@ -316,6 +322,11 @@ class FeatureDetector:
         sv_match[:n] = True
         sv_sym = np.zeros((cap, offs.shape[0]), bool)
         sv_sym[:n] = True
+        idx_p = None
+        if image_idx is not None:
+            idx_p = np.zeros(cap, np.int32)
+            idx_p[:n] = image_idx
+            idx_p = jnp.asarray(idx_p)
 
         # one fused device call: extract -> matching -> re-extract ->
         # symmetry (the growth loop is dispatch-bound on small ring
@@ -331,44 +342,31 @@ class FeatureDetector:
             jnp.asarray(sv_sym),
             whs,
             patch,
+            idx_p,
         ))[:n]
         ok = (packed[:, 3] > 0.5) & ok_h
         return packed[:, 0:2], packed[:, 2], ok
 
     # ------------------------------ detection ------------------------------
 
-    def detect(self, image):
-        """Detect features. image: grayscale (H, W) float [0,1] or uint8.
-
-        Returns a list of per-pattern dicts {coord: FeatureDetection} plus
-        the flat PointFeature list (pixel-corner convention, sequential
-        feature ids).
-        """
+    @staticmethod
+    def _prep_image(image):
         image = np.asarray(image)
         if image.dtype == np.uint8:
             image = image.astype(np.float64) / 255.0
-        h_img, w_img = image.shape
-        image_j = jnp.asarray(image)
-        # central differences (np.gradient costs ~3 s at 1378x1950 — it
-        # allocates per-axis slices through a generic ufunc path)
-        gx = np.empty_like(image)
-        gx[:, 1:-1] = 0.5 * (image[:, 2:] - image[:, :-2])
-        gx[:, 0] = image[:, 1] - image[:, 0]
-        gx[:, -1] = image[:, -1] - image[:, -2]
-        gy = np.empty_like(image)
-        gy[1:-1, :] = 0.5 * (image[2:, :] - image[:-2, :])
-        gy[0, :] = image[1, :] - image[0, :]
-        gy[-1, :] = image[-1, :] - image[-2, :]
-        grad_j = jnp.asarray(np.stack([gx, gy], axis=-1))
+        return image
 
-        detections = [dict() for _ in self.patterns]
+    def _seed_predictions(self, image):
+        """Host-side tag seeding: AprilTag detect + homography seeds.
 
-        # --- 1. tag seeding ---
+        Returns a list of (pattern idx, coords, predictions, h_locals)
+        (reference: PredictFeaturesNextToAprilTags,
+        feature_detector_tagged_pattern.cc:769)."""
         tags = at.detect_tags(image)
         # sub-pixel refinement of each tag homography against its known
         # bitmap (the contour quads are ~1-2 px biased)
         tags = [at.refine_tag_homography(image, t) for t in tags]
-        seed_batches = []  # (pattern idx, coords list, predictions, h_locals)
+        seed_batches = []
         for det in tags:
             hit = self.tag_lookup.get(det.tag_id)
             if hit is None:
@@ -398,14 +396,288 @@ class FeatureDetector:
                 hl[0:2, 2] = pred[i]
                 h_locals[i] = hl
             seed_batches.append((pi, coords, pred, h_locals))
+        return seed_batches
 
-        for pi, coords, pred, h_locals in seed_batches:
+    # board-space neighbor offsets out to Chebyshev radius 4, sorted by
+    # euclidean distance — the 12 nearest detections of a frontier
+    # candidate live in this window, so the global candidate×detection
+    # distance matrix (O(n²) over the whole detection run) collapses to a
+    # handful of dict probes per candidate
+    _WINDOW_OFFSETS = tuple(sorted(
+        ((dx, dy) for dx in range(-4, 5) for dy in range(-4, 5)
+         if (dx, dy) != (0, 0)),
+        key=lambda o: (o[0] * o[0] + o[1] * o[1], o),
+    ))
+
+    def _ring_predictions(self, dets, spec, w_img, h_img, pool=None):
+        """Next growth ring of one pattern in one image.
+
+        ``pool``: candidate coords to try (maintained incrementally by the
+        caller); None derives it from all current detections (one-shot
+        use).  Returns (predictions, h_locals, kept coord list) or None
+        (reference: PredictAndDetectFeatures,
+        feature_detector_tagged_pattern.cc:958, local homographies from
+        the nearest detections via NormalizedDLT :1235)."""
+        if len(dets) < 4:
+            return None
+        if pool is None:
+            pool = set()
+            for (cx, cy) in dets.keys():
+                for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                    nb = (cx + dx, cy + dy)
+                    if nb not in dets and spec.is_valid_feature_coord(*nb):
+                        pool.add(nb)
+        if not pool:
+            return None
+        cand = sorted(pool)
+        # nearest detections per candidate from the board-space window;
+        # rare sparse candidates (<4 neighbors in radius 4) are skipped
+        # this round — they re-enter once the frontier reaches them
+        k = 12
+        kept_cand, nbr_coords, nbr_pos = [], [], []
+        for c in cand:
+            cx, cy = c
+            found_c, found_p = [], []
+            for dx, dy in self._WINDOW_OFFSETS:
+                d = dets.get((cx + dx, cy + dy))
+                if d is not None:
+                    found_c.append((cx + dx, cy + dy))
+                    found_p.append(d.position)
+                    if len(found_c) == k:
+                        break
+            if len(found_c) < 4:
+                continue
+            n0 = len(found_c)
+            while len(found_c) < k:  # pad by cycling (weights the DLT)
+                found_c.append(found_c[len(found_c) % n0])
+                found_p.append(found_p[len(found_p) % n0])
+            kept_cand.append(c)
+            nbr_coords.append(found_c)
+            nbr_pos.append(found_p)
+        if not kept_cand:
+            return None
+        cand = kept_cand
+        cand_arr = np.asarray(cand, np.float64)
+        h_loc, ok_h = _normalized_dlt_batch(
+            np.asarray(nbr_coords, np.float64),
+            np.asarray(nbr_pos, np.float64),
+        )
+        p = _apply_h_batch(h_loc, cand_arr)
+        whs = self.opts.window_half_size
+        inb = (
+            ok_h
+            & (p[:, 0] > whs) & (p[:, 0] < w_img - 1 - whs)
+            & (p[:, 1] > whs) & (p[:, 1] < h_img - 1 - whs)
+        )
+        if not inb.any():
+            return None
+        idx = np.nonzero(inb)[0]
+        t = np.tile(np.eye(3), (idx.size, 1, 1))
+        t[:, 0, 2] = cand_arr[idx, 0]
+        t[:, 1, 2] = cand_arr[idx, 1]
+        hl = np.einsum("nij,njk->nik", h_loc[idx], t)
+        hl = hl / hl[:, 2:3, 2:3]
+        hl[:, 0:2, 2] = p[idx]
+        return p[idx], hl, [cand[i] for i in idx]
+
+    def _flat_features(self, detections):
+        """Per-pattern detection dicts -> PointFeature list (pixel-corner
+        convention, sequential feature ids)."""
+        features = []
+        for pi, dets in enumerate(detections):
+            coord_to_fid = {
+                coord: fid for fid, coord in self.corner_maps[pi].items()
+            }
+            for coord, det in dets.items():
+                fid = coord_to_fid.get(coord)
+                if fid is None:
+                    continue
+                features.append(
+                    PointFeature(xy=det.position + 0.5, feature_id=fid)
+                )
+        return features
+
+    def detect(self, image):
+        """Detect features. image: grayscale (H, W) float [0,1] or uint8.
+
+        Returns a list of per-pattern dicts {coord: FeatureDetection} plus
+        the flat PointFeature list (pixel-corner convention, sequential
+        feature ids).
+        """
+        if self.opts.refinement_type == "gradient":
+            return self._detect_gradient(image)
+        return self.detect_batch([image])[0]
+
+    def detect_batch(self, images):
+        """Detect features in several same-size images jointly.
+
+        Growth rings of different images are independent, so each round's
+        candidates from ALL images are refined in ONE device call — the
+        per-ring dispatch latency (the sequential-bottleneck of large
+        boards) amortizes across the dataset instead of repeating per
+        image.  This is the batch analog of the reference's real-time
+        per-image GPU detection (Readme.md:42,188-189).
+
+        Returns a list of (features, per-pattern detection dicts), one
+        per image, identical in layout to detect().
+        """
+        if self.opts.refinement_type == "gradient":
+            return [self._detect_gradient(img) for img in images]
+        prepped = [self._prep_image(img) for img in images]
+        if len({im.shape for im in prepped}) != 1:
+            raise ValueError("detect_batch needs same-size images")
+        # bound device memory: chunk the batch so the stacked image tensor
+        # stays under ~max_batch_pixels (the rest of the pipeline is
+        # per-feature and small)
+        px_per = prepped[0].size
+        per_chunk = max(1, int(self.opts.max_batch_pixels // px_per))
+        if len(prepped) > per_chunk:
+            out = []
+            for s in range(0, len(prepped), per_chunk):
+                out.extend(self.detect_batch(prepped[s:s + per_chunk]))
+            return out
+        h_img, w_img = prepped[0].shape
+        n_img = len(prepped)
+        images_j = jnp.asarray(np.stack(prepped))
+        all_dets = [
+            [dict() for _ in self.patterns] for _ in range(n_img)
+        ]
+
+        # --- 1. tag seeding (host, per image, thread pool: the AprilTag
+        # decode is NumPy/OpenCV and dominated by GIL-releasing cv2 calls)
+        # + one refine per pattern ---
+        from concurrent.futures import ThreadPoolExecutor
+
+        if n_img > 1:
+            with ThreadPoolExecutor(min(4, n_img)) as ex:
+                seeds = list(ex.map(self._seed_predictions, prepped))
+        else:
+            seeds = [self._seed_predictions(prepped[0])]
+        per_pattern = {pi: [] for pi in range(len(self.patterns))}
+        for bi, seed_batches in enumerate(seeds):
+            for pi, coords, pred, h_locals in seed_batches:
+                whs = self.opts.window_half_size
+                inb = (
+                    (pred[:, 0] > whs) & (pred[:, 0] < w_img - 1 - whs)
+                    & (pred[:, 1] > whs) & (pred[:, 1] < h_img - 1 - whs)
+                )
+                if inb.any():
+                    idx = np.nonzero(inb)[0]
+                    per_pattern[pi].append(
+                        (bi, [coords[i] for i in idx], pred[idx],
+                         h_locals[idx])
+                    )
+        # candidate pools, maintained incrementally: pool = all valid
+        # undetected neighbors of current detections (exactly the per-round
+        # candidate set of the one-shot form, without the O(n²) rebuild)
+        pools = [
+            [set() for _ in self.patterns] for _ in range(n_img)
+        ]
+        new_map = self._refine_scatter(per_pattern, images_j, all_dets)
+        self._update_pools(pools, all_dets, new_map)
+
+        # --- 2. growth rounds: all images' rings in one call per pattern ---
+        for _ in range(self.opts.max_rounds):
+            per_pattern = {pi: [] for pi in range(len(self.patterns))}
+            any_ring = False
+            for bi in range(n_img):
+                for pi, spec in enumerate(self.patterns):
+                    ring = self._ring_predictions(
+                        all_dets[bi][pi], spec, w_img, h_img,
+                        pool=pools[bi][pi],
+                    )
+                    if ring is not None:
+                        preds, hl, kept = ring
+                        per_pattern[pi].append((bi, kept, preds, hl))
+                        any_ring = True
+            if not any_ring:
+                break
+            new_map = self._refine_scatter(per_pattern, images_j, all_dets)
+            if not new_map:
+                break
+            self._update_pools(pools, all_dets, new_map)
+
+        # --- 3/4. validation + flat outputs, per image ---
+        results = []
+        for bi in range(n_img):
+            dets_img = [
+                self._validate(d, (w_img, h_img)) for d in all_dets[bi]
+            ]
+            results.append((self._flat_features(dets_img), dets_img))
+        return results
+
+    def _refine_scatter(self, per_pattern, images_j, all_dets):
+        """Refine each pattern's concatenated cross-image batch in one
+        device call and scatter accepted detections back.
+
+        Returns {(image idx, pattern idx): [accepted coords]} (empty dict
+        when nothing new was detected)."""
+        new_map = {}
+        for pi, batches in per_pattern.items():
+            if not batches:
+                continue
             spec = self.patterns[pi]
+            preds = np.concatenate([b[2] for b in batches])
+            hls = np.concatenate([b[3] for b in batches])
+            image_idx = np.concatenate([
+                np.full(len(b[1]), b[0], np.int32) for b in batches
+            ])
+            pos, cost, ok = self._refine_batch(
+                None, images_j, None, preds, hls, spec, image_idx=image_idx
+            )
+            off = 0
+            for bi, kept, p_, h_ in batches:
+                for k, c in enumerate(kept):
+                    if ok[off + k]:
+                        all_dets[bi][pi][c] = FeatureDetection(
+                            position=pos[off + k], coord=c,
+                            cost=float(cost[off + k]),
+                        )
+                        new_map.setdefault((bi, pi), []).append(c)
+                off += len(kept)
+        return new_map
+
+    def _update_pools(self, pools, all_dets, new_map):
+        """Incremental candidate-pool maintenance: drop what was just
+        detected, add the newly-detected coords' valid undetected
+        neighbors."""
+        for (bi, pi), new_coords in new_map.items():
+            pool = pools[bi][pi]
+            dets = all_dets[bi][pi]
+            spec = self.patterns[pi]
+            pool.difference_update(new_coords)
+            for (cx, cy) in new_coords:
+                for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                    nb = (cx + dx, cy + dy)
+                    if nb not in dets and spec.is_valid_feature_coord(*nb):
+                        pool.add(nb)
+
+    def _detect_gradient(self, image):
+        """Single-image path for the gradient-pair refinement type (uses
+        whole-image sampling; not cross-image batched)."""
+        image = self._prep_image(image)
+        h_img, w_img = image.shape
+        image_j = jnp.asarray(image)
+        # central differences (np.gradient costs ~3 s at 1378x1950 — it
+        # allocates per-axis slices through a generic ufunc path)
+        gx = np.empty_like(image)
+        gx[:, 1:-1] = 0.5 * (image[:, 2:] - image[:, :-2])
+        gx[:, 0] = image[:, 1] - image[:, 0]
+        gx[:, -1] = image[:, -1] - image[:, -2]
+        gy = np.empty_like(image)
+        gy[1:-1, :] = 0.5 * (image[2:, :] - image[:-2, :])
+        gy[0, :] = image[1, :] - image[0, :]
+        gy[-1, :] = image[-1, :] - image[-2, :]
+        grad_j = jnp.asarray(np.stack([gx, gy], axis=-1))
+
+        detections = [dict() for _ in self.patterns]
+
+        for pi, coords, pred, h_locals in self._seed_predictions(image):
+            spec = self.patterns[pi]
+            whs = self.opts.window_half_size
             inb = (
-                (pred[:, 0] > self.opts.window_half_size)
-                & (pred[:, 0] < w_img - 1 - self.opts.window_half_size)
-                & (pred[:, 1] > self.opts.window_half_size)
-                & (pred[:, 1] < h_img - 1 - self.opts.window_half_size)
+                (pred[:, 0] > whs) & (pred[:, 0] < w_img - 1 - whs)
+                & (pred[:, 1] > whs) & (pred[:, 1] < h_img - 1 - whs)
             )
             if not inb.any():
                 continue
@@ -420,57 +692,15 @@ class FeatureDetector:
                         cost=float(cost[k]),
                     )
 
-        # --- 2. growth rounds ---
         for _ in range(self.opts.max_rounds):
             new_any = False
             for pi, spec in enumerate(self.patterns):
-                dets = detections[pi]
-                if len(dets) < 4:
-                    continue
-                coords_arr = np.asarray(list(dets.keys()), np.float64)
-                pos_arr = np.stack([dets[c].position for c in dets.keys()])
-                candidates = set()
-                for (cx, cy) in dets.keys():
-                    for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1)):
-                        nb = (cx + dx, cy + dy)
-                        if nb in dets or not spec.is_valid_feature_coord(*nb):
-                            continue
-                        candidates.add(nb)
-                if not candidates:
-                    continue
-                cand = sorted(candidates)
-                # local homographies from the nearest detections (cc:1235),
-                # fully vectorized: one distance matrix, one batched
-                # argpartition, one batched DLT
-                cand_arr = np.asarray(cand, np.float64)
-                k = min(12, coords_arr.shape[0])
-                if k < 4:
-                    continue
-                d2 = np.sum(
-                    (cand_arr[:, None, :] - coords_arr[None]) ** 2, axis=2
+                ring = self._ring_predictions(
+                    detections[pi], spec, w_img, h_img
                 )
-                nn = np.argpartition(d2, k - 1, axis=1)[:, :k]
-                h_loc, ok_h = _normalized_dlt_batch(
-                    coords_arr[nn], pos_arr[nn]
-                )
-                p = _apply_h_batch(h_loc, cand_arr)
-                whs = self.opts.window_half_size
-                inb = (
-                    ok_h
-                    & (p[:, 0] > whs) & (p[:, 0] < w_img - 1 - whs)
-                    & (p[:, 1] > whs) & (p[:, 1] < h_img - 1 - whs)
-                )
-                if not inb.any():
+                if ring is None:
                     continue
-                idx = np.nonzero(inb)[0]
-                t = np.tile(np.eye(3), (idx.size, 1, 1))
-                t[:, 0, 2] = cand_arr[idx, 0]
-                t[:, 1, 2] = cand_arr[idx, 1]
-                hl = np.einsum("nij,njk->nik", h_loc[idx], t)
-                hl = hl / hl[:, 2:3, 2:3]
-                hl[:, 0:2, 2] = p[idx]
-                preds = p[idx]
-                kept = [cand[i] for i in idx]
+                preds, hl, kept = ring
                 pos, cost, ok = self._refine_batch(
                     image, image_j, grad_j, preds, hl, spec
                 )
@@ -483,24 +713,10 @@ class FeatureDetector:
             if not new_any:
                 break
 
-        # --- 3. validation ---
-        for pi, spec in enumerate(self.patterns):
-            detections[pi] = self._validate(detections[pi], (w_img, h_img))
-
-        # --- 4. flat output with sequential ids, pixel-corner convention ---
-        features = []
-        for pi, dets in enumerate(detections):
-            coord_to_fid = {
-                coord: fid for fid, coord in self.corner_maps[pi].items()
-            }
-            for coord, det in dets.items():
-                fid = coord_to_fid.get(coord)
-                if fid is None:
-                    continue
-                features.append(
-                    PointFeature(xy=det.position + 0.5, feature_id=fid)
-                )
-        return features, detections
+        detections = [
+            self._validate(d, (w_img, h_img)) for d in detections
+        ]
+        return self._flat_features(detections), detections
 
     # ------------------------------ validation ------------------------------
 

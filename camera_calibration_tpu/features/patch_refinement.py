@@ -271,6 +271,22 @@ def _origins_in_jit(image_shape, centers, patch: int):
     return x0, y0
 
 
+def _extract_indexed(image, image_idx, y0, x0, patch: int):
+    """Patch extraction from a single image (H, W) or, when ``image`` is a
+    stacked (B, H, W) dataset batch, from per-feature images selected by
+    ``image_idx`` — growth rings of *different images* are independent, so
+    batching them into one call amortizes the per-dispatch latency across
+    the whole dataset (the cross-image analog of the reference's live
+    per-image GPU detection, Readme.md:42)."""
+    if image.ndim == 2:
+        return extract_patches_device(image, jnp.stack([y0, x0], -1), patch)
+
+    def one(i, y, x):
+        return jax.lax.dynamic_slice(image, (i, y, x), (1, patch, patch))[0]
+
+    return jax.vmap(one)(image_idx, y0, x0)
+
+
 @partial(jax.jit, static_argnames=("patch",))
 def refine_two_stage_patches(
     image,
@@ -283,6 +299,7 @@ def refine_two_stage_patches(
     sv_sym,
     window_half_size,
     patch: int,
+    image_idx=None,
 ):
     """Both refinement stages + patch extraction fused into ONE device call.
 
@@ -291,18 +308,21 @@ def refine_two_stage_patches(
     dispatch-bound (each ring is a small batch; the remote runtime costs
     ~30 ms per call), so collapsing the former 4-6 calls per ring into
     one matters more than any kernel-level change.
+    image may be (H, W) or a stacked (B, H, W) batch with per-feature
+    ``image_idx`` (cross-image ring batching).
     Returns (positions, cost, converged).
     """
     dtype = positions.dtype
-    x0, y0 = _origins_in_jit(image.shape, positions, patch)
-    pd = extract_patches_device(image, jnp.stack([y0, x0], -1), patch)
+    shape2d = image.shape[-2:]
+    x0, y0 = _origins_in_jit(shape2d, positions, patch)
+    pd = _extract_indexed(image, image_idx, y0, x0, patch)
     org = jnp.stack([x0, y0], -1).astype(dtype)
     pos1, _c1, ok1 = refine_matching_patches(
         pd, org, positions, pixel_tr_pattern, samples_match, rendered,
         sv_match, window_half_size,
     )
-    x1, y1 = _origins_in_jit(image.shape, pos1, patch)
-    pd2 = extract_patches_device(image, jnp.stack([y1, x1], -1), patch)
+    x1, y1 = _origins_in_jit(shape2d, pos1, patch)
+    pd2 = _extract_indexed(image, image_idx, y1, x1, patch)
     org2 = jnp.stack([x1, y1], -1).astype(dtype)
     pos2, cost2, ok2 = refine_symmetry_patches(
         pd2, org2, pos1, pixel_tr_pattern, samples_sym, sv_sym,

@@ -144,10 +144,10 @@ def test_cli_multi_dataset_merge(tmp_path):
     jointly (reference: Dataset::Merge, dataset.cc:77-126): two rendered
     recordings of physically distinct pattern sheets, one camera."""
     ds_a, cam, _ = tdi._make_synthetic_dataset(
-        seed=2, n_imagesets=8, k=12, w=320, h=240
+        seed=2, n_imagesets=6, k=12, w=320, h=240
     )
     ds_b, _, _ = tdi._make_synthetic_dataset(
-        seed=9, n_imagesets=8, k=12, w=320, h=240
+        seed=9, n_imagesets=6, k=12, w=320, h=240
     )
     pa, pb = tmp_path / "a.bin", tmp_path / "b.bin"
     dataset_bin.save_dataset(pa, ds_a)
@@ -159,7 +159,7 @@ def test_cli_multi_dataset_merge(tmp_path):
         "--output_directory", str(out),
         "--dtype", "float32",
         "--num_pyramid_levels", "1",
-        "--final_iterations", "30",
+        "--final_iterations", "24",
         "--outlier_removal_factor", "0",
     ])
     assert rc == 0

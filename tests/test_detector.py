@@ -174,3 +174,26 @@ def test_pattern_pdf_matches_raster_oracle(tmp_path):
     # residual mismatches are rasterization-edge pixels (tag cell borders
     # at this dpi); the wedge+tag geometry itself matches exactly
     assert match.mean() > 0.99, match.mean()
+
+
+def test_detect_batch_matches_single():
+    """Cross-image batched detection (rings of all images refined in one
+    device call per round) must reproduce per-image detection — the batch
+    analog of the reference's real-time per-image GPU detection
+    (Readme.md:42,188-189)."""
+    pairs = [_make_pattern_image(seed=s, noise=0.01) for s in (0, 5)]
+    spec = pairs[0][0]
+    det = fdet.FeatureDetector([spec])
+    results = det.detect_batch([img for _, img, _ in pairs])
+    det_single = fdet.FeatureDetector([spec])
+    for (spec_, img, h_pp), (feats_b, dets_b) in zip(pairs, results):
+        feats_s, _ = det_single.detect(img)
+        ids_b = {f.feature_id for f in feats_b}
+        ids_s = {f.feature_id for f in feats_s}
+        assert ids_b == ids_s
+        gt = _gt_positions(spec_, h_pp)
+        cm = pat.corners_for_patterns([spec_])[0]
+        errs = np.asarray(
+            [np.linalg.norm(f.xy - gt[cm[f.feature_id]]) for f in feats_b]
+        )
+        assert np.median(errs) < 0.05, np.median(errs)

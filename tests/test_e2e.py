@@ -35,7 +35,8 @@ def test_e2e_mono_central_generic():
         num_pyramid_levels=2,
         approx_pixels_per_cell=40,
         outlier_removal_factor=8.0,
-        final_iterations=50,
+        final_iterations=30,
+        pyramid_iterations=(8, 25),
     )
     state, data, report = cal.calibrate(
         state,

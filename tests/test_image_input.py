@@ -223,7 +223,7 @@ def test_calibrate_with_visualizer(tmp_path):
     vis = CalibrationVisualizer(str(tmp_path), min_update_seconds=0.0)
     options = cal.CalibrateOptions(
         num_pyramid_levels=1, approx_pixels_per_cell=40,
-        outlier_removal_factor=8.0, final_iterations=10,
+        outlier_removal_factor=8.0, final_iterations=6,
     )
     state, data, report = cal.calibrate(
         state, data, options,

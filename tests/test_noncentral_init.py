@@ -93,7 +93,14 @@ def _make_dataset(seed=0, n_imagesets=12):
     return ds, model, poses
 
 
-def test_noncentral_init_e2e():
+import pytest
+
+
+@pytest.fixture(scope="module")
+def nc_init():
+    """One NoncentralDenseInitializer run shared by both tests — the
+    initializer is the dominant cost (~2.5 min) and both tests consume
+    the same successful bootstrap."""
     ds, model_gt, poses_gt = _make_dataset(seed=1)
     init = NoncentralDenseInitializer(
         ds, 0,
@@ -103,6 +110,11 @@ def test_noncentral_init_e2e():
         ),
     )
     result = init.run()
+    return ds, model_gt, poses_gt, result
+
+
+def test_noncentral_init_e2e(nc_init):
+    ds, model_gt, poses_gt, result = nc_init
     assert result is not None
     n_used = sum(result.image_used)
     assert n_used >= 8, n_used
@@ -152,21 +164,13 @@ def test_noncentral_init_e2e():
     assert np.median(np.linalg.norm(perp, axis=1)) < 0.05
 
 
-def test_noncentral_init_fit_and_ba():
+def test_noncentral_init_fit_and_ba(nc_init):
     from camera_calibration_tpu.ba import lm_pcg
     from camera_calibration_tpu.ba.state import BAState
     from camera_calibration_tpu.models.fit import fit_noncentral_to_lines
     from camera_calibration_tpu.ops import se3
 
-    ds, model_gt, poses_gt = _make_dataset(seed=3)
-    init = NoncentralDenseInitializer(
-        ds, 0,
-        DenseInitOptions(
-            max_initialization_attempts=80, seed=4,
-            min_matched_area_accept=0.2,
-        ),
-    )
-    result = init.run()
+    ds, model_gt, poses_gt, result = nc_init
     assert result is not None and sum(result.image_used) >= 8
 
     dirs, anchors, valid, c = result.line_field()

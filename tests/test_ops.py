@@ -214,3 +214,50 @@ def test_small_solves():
         np.einsum("nij,nj->ni", np.asarray(a3), np.asarray(x3)), np.asarray(b3),
         atol=1e-9,
     )
+
+
+def test_bicubic_interpolation_properties():
+    """Catmull-Rom bicubic: exact at integers, reproduces linear ramps,
+    Jacobian matches AD (reference: image.h InterpolateBicubicVector)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from camera_calibration_tpu.ops import interp
+
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.uniform(0, 1, (12, 10)))
+
+    # interpolates the data: exact at pixel centers
+    gx, gy = np.meshgrid(np.arange(2, 8), np.arange(2, 9))
+    pts = jnp.asarray(np.stack([gx.ravel(), gy.ravel()], -1).astype(float))
+    vals = interp.bicubic(img, pts)
+    np.testing.assert_allclose(
+        np.asarray(vals), np.asarray(img)[gy.ravel(), gx.ravel()], atol=1e-12
+    )
+
+    # linear precision: a ramp is reproduced exactly
+    yy, xx = np.mgrid[0:12, 0:10]
+    ramp = jnp.asarray(0.3 * xx + 0.2 * yy + 0.1)
+    q = jnp.asarray(rng.uniform([1.0, 1.0], [7.9, 9.9], (50, 2)))
+    v, g = interp.bicubic_with_jacobian(ramp, q)
+    np.testing.assert_allclose(
+        np.asarray(v), 0.3 * np.asarray(q)[:, 0] + 0.2 * np.asarray(q)[:, 1] + 0.1,
+        atol=1e-10,
+    )
+    np.testing.assert_allclose(np.asarray(g[:, 0]), 0.3, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(g[:, 1]), 0.2, atol=1e-10)
+
+    # Jacobian == AD of the value fn on a generic image
+    g_ad = jax.vmap(jax.jacfwd(lambda p: interp.bicubic(img, p)))(q)
+    _, g_an = interp.bicubic_with_jacobian(img, q)
+    np.testing.assert_allclose(np.asarray(g_an), np.asarray(g_ad), atol=1e-9)
+
+    # multi-channel shape contract
+    img3 = jnp.asarray(rng.uniform(0, 1, (12, 10, 3)))
+    v3, g3 = interp.bicubic_with_jacobian(img3, q)
+    assert v3.shape == (50, 3) and g3.shape == (50, 3, 2)
+    # channel 0 of the multi-channel result matches the single-channel path
+    v0, g0 = interp.bicubic_with_jacobian(img3[..., 0], q)
+    np.testing.assert_allclose(np.asarray(v3[:, 0]), np.asarray(v0), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(g3[:, 0]), np.asarray(g0), atol=1e-12)

@@ -60,7 +60,7 @@ def test_full_pipeline_harsh_conditions(tmp_path):
             "--pattern_files", pattern_yaml,
             "--output_directory", out_dir,
             "--dtype", "mixed", "--polish_iterations", "3",
-            "--num_pyramid_levels", "1", "--final_iterations", "20",
+            "--num_pyramid_levels", "1", "--final_iterations", "15",
             "--approx_pixels_per_cell", "40",
         ])
     finally:
