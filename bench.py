@@ -128,8 +128,14 @@ def perturb_bench_state(state, seed):
 def bench_corner_refinement():
     """Corner refinement throughput on the chip (features/s).
 
-    2048 features × 512 samples × 30 LM iterations on a 1280×1024 image,
-    patches extracted on-device (the whole detector hot path)."""
+    2048 features × (64 matching + 512 symmetry) samples × 30 LM
+    iterations each on a 1280×1024 image, through the SHIPPED detector
+    device path: the fused two-stage call (patch extract → matching →
+    re-extract → 8-DoF symmetry in ONE dispatch,
+    features/patch_refinement.refine_two_stage_patches) — what the
+    growth loop actually invokes per ring, so the headline matches the
+    detector (matching uses 1/8 of the samples, reference
+    feature_detector_tagged_pattern.cc:1483-1484)."""
     import time
 
     import jax
@@ -142,29 +148,30 @@ def bench_corner_refinement():
     h, w = 1024, 1280
     img = rng.uniform(0, 1, (h, w)).astype(np.float32)
     n_f, n_s, whs = 2048, 512, 10
+    n_match = n_s // 8
     positions = rng.uniform(60, [w - 60, h - 60], (n_f, 2))
     patch = pr.patch_size_for_window(whs)
     img_j = jax.device_put(jnp.asarray(img))
     float(img_j.sum())
-    x0, y0 = pr.patch_origins(img.shape, positions, patch)
-    yx = jnp.asarray(np.stack([y0, x0], -1).astype(np.int32))
-    oj = jnp.asarray(np.stack([x0, y0], -1).astype(np.float32))
     h0 = np.tile(np.eye(3, dtype=np.float32), (n_f, 1, 1))
     h0[:, 0, 0] += rng.uniform(-0.05, 0.05, n_f)
     h0[:, 1, 1] += rng.uniform(-0.05, 0.05, n_f)
     offs = ref.make_sample_offsets(rng, whs, n_s) * whs
     samples = np.tile(offs[None], (n_f, 1, 1)).astype(np.float32)
+    rendered = rng.uniform(0, 1, (n_f, n_match)).astype(np.float32)
     hj = jnp.asarray(h0)
     sj = jnp.asarray(samples)
+    smj = jnp.asarray(samples[:, :n_match])
+    rj = jnp.asarray(rendered)
+    svm = jnp.asarray(np.ones((n_f, n_match), bool))
     svj = jnp.asarray(np.ones((n_f, n_s), bool))
     posj = jnp.asarray(positions.astype(np.float32))
 
     def run():
-        pd = pr.extract_patches_device(img_j, yx, patch)
-        pos, cost, ok = pr.refine_symmetry_patches(
-            pd, oj, posj, hj, sj, svj, whs
+        packed = pr.refine_two_stage_patches(
+            img_j, posj, hj, smj, rj, svm, sj, svj, whs, patch
         )
-        return float(pos.sum())
+        return float(packed.sum())
 
     run()
     ts = []

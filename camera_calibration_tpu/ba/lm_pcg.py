@@ -1060,7 +1060,7 @@ def lm_step(state, warm_xy, lam, data, options: BAOptions, blocks=None,
         lambda d: jnp.where(accept, d, jnp.zeros_like(d)), delta
     )
     return (state, warm, lam, accept, full_cost, new_full_cost, pcg_iters,
-            blocks, delta)
+            old_sum, new_sum, blocks, delta)
 
 
 def _lm_step_two_pass(state, warm_xy, lam, data, options: BAOptions):
@@ -1134,7 +1134,8 @@ def _lm_step_two_pass(state, warm_xy, lam, data, options: BAOptions):
         lambda a, b_: jnp.where(accept, b_, a), warm1, warm2
     )
     lam = jnp.maximum(jnp.where(accept, 0.5 * lam, 2.0 * lam), options.lambda_min)
-    return state, warm, lam, accept, full_cost, new_full_cost, pcg_iters
+    return (state, warm, lam, accept, full_cost, new_full_cost, pcg_iters,
+            old_sum, new_sum)
 
 
 import functools
@@ -1175,10 +1176,10 @@ def make_lm_scan(options: BAOptions, n_steps: int, jit: bool = True):
         def body(carry, _):
             state, warm, lam, blocks, delta = carry
             (state, warm, lam, accept, cost, new_cost, iters,
-             blocks, delta) = lm_step(state, warm, lam, data, options,
-                                      blocks, prev_delta=delta)
-            return (state, warm, lam, blocks, delta), (accept, cost,
-                                                       new_cost, iters)
+             paired_old, paired_new, blocks, delta) = lm_step(
+                state, warm, lam, data, options, blocks, prev_delta=delta)
+            return (state, warm, lam, blocks, delta), (
+                accept, cost, new_cost, iters, paired_old, paired_new)
 
         (state, warm, lam, _, _), outs = jax.lax.scan(
             body, (state, warm, lam, blocks0, delta0), None, length=n_steps
@@ -1299,23 +1300,23 @@ def optimize(
                     np.asarray(outs[0]), np.asarray(outs[1]),
                     np.asarray(outs[2]), np.asarray(outs[3]),
                 )
+                p_olds, p_news = np.asarray(outs[4]), np.asarray(outs[5])
                 entries = [
                     (bool(accepts[i]), float(costs[i]), float(new_costs[i]),
-                     int(pcg_its[i]))
+                     int(pcg_its[i]), float(p_olds[i]), float(p_news[i]))
                     for i in range(k)
                 ]
             else:
-                state, warm, lam, accept, cost, new_cost, pcg_iters = step(
-                    state, warm, lam, data
-                )
+                (state, warm, lam, accept, cost, new_cost, pcg_iters,
+                 p_old, p_new) = step(state, warm, lam, data)
                 entries = [(bool(accept), float(cost), float(new_cost),
-                            int(pcg_iters))]
+                            int(pcg_iters), float(p_old), float(p_new))]
             dt = time.perf_counter() - t0  # np/float conversions synced
             if report.iterations == 0:
                 report.first_call_seconds = dt
             else:
                 report.step_seconds += dt
-            for accept, cost, new_cost, pcg_iters in entries:
+            for accept, cost, new_cost, pcg_iters, p_old, p_new in entries:
                 if it >= options.max_lm_iterations:
                     break
                 history.append(
@@ -1323,6 +1324,8 @@ def optimize(
                         "iteration": it,
                         "cost": cost,
                         "new_cost": new_cost,
+                        "paired_cost": p_old,
+                        "paired_new_cost": p_new,
                         "accepted": accept,
                         "lambda": float(lam),
                         "pcg_iterations": pcg_iters,
@@ -1338,7 +1341,14 @@ def optimize(
                 if accept:
                     report.accepted += 1
                     rejects = 0
-                    rel = (cost - new_cost) / max(cost, 1e-30)
+                    # Convergence is judged on the PAIRED costs — the
+                    # quantity the accept decision compares (reference's
+                    # invalid-residual pairing, lm_optimizer.h:993-1011).
+                    # The FULL cost can legitimately rise on an accepted
+                    # step when the valid set shifts (a projection drops
+                    # out); treating that as "no progress" stopped LM runs
+                    # far from the optimum (round-3 noncentral plateau).
+                    rel = (p_old - p_new) / max(p_old, 1e-30)
                     final_cost = new_cost
                     if rel < options.cost_reduction_threshold:
                         stop = True

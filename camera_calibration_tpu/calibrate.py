@@ -234,6 +234,36 @@ def cast_floating(tree, dtype, device=None):
     return jax.tree_util.tree_map(cast, tree)
 
 
+class float64_cpu_scope:
+    """Scoped jax_enable_x64 + CPU default device.
+
+    The f64 polish needs both global JAX flags flipped: x64 enabled (so
+    float64 staging works) and the default device pinned to the CPU
+    backend (TPU runtimes fatally reject 64-bit layouts, and with x64
+    enabled even index staging produces int64).  Both flags are global
+    and sticky — a *library* caller must get its process back, so this
+    context manager snapshots and restores them (the reference's polish
+    is likewise a local solver call, calibration.cc:1127-1133).
+    """
+
+    def __enter__(self):
+        import jax
+
+        self._prev_x64 = bool(jax.config.jax_enable_x64)
+        self._prev_dev = jax.config.jax_default_device
+        cpu = jax.devices("cpu")[0]
+        jax.config.update("jax_enable_x64", True)
+        jax.config.update("jax_default_device", cpu)
+        return cpu
+
+    def __exit__(self, *exc):
+        import jax
+
+        jax.config.update("jax_enable_x64", self._prev_x64)
+        jax.config.update("jax_default_device", self._prev_dev)
+        return False
+
+
 def polish_float64(state, data, options: CalibrateOptions,
                    callback=None, state_saver=None, log=print):
     """Float64 CPU polish of a float32 calibration.
@@ -244,13 +274,15 @@ def polish_float64(state, data, options: CalibrateOptions,
     secure the final RMSE (reference: calibration.cc:1127-1133 runs 10
     CPU iterations at threshold 1e-4 after the CUDA pass).
 
-    Enables jax_enable_x64 AND pins jax_default_device to the CPU — both
-    global, sticky JAX flags.  The pin is required on TPU machines: the
-    TPU runtime fatally rejects 64-bit layouts, and with x64 enabled even
-    index staging produces int64, so every post-polish array creation
-    must land on the CPU backend (the accelerator's work — the f32
-    phases — is complete by the time polish runs).
-    Returns (state64, info) — the state stays float64 for saving/report.
+    The x64/CPU-default config flip is *scoped* (float64_cpu_scope): on
+    return the process-global JAX config is exactly as before, so a
+    subsequent plain-f32 optimize() in the same process still runs on
+    the default accelerator backend.  The returned float64 arrays are
+    committed to the CPU device, so later computations that touch them
+    (report metrics, serialization) execute on the CPU backend via
+    JAX's committed-device propagation without any global flag.
+    Returns (state64, data64, info) — float64 for saving/report; data64
+    is the observation tables cast to f64 (valid masks untouched).
     """
     import jax
 
@@ -258,20 +290,19 @@ def polish_float64(state, data, options: CalibrateOptions,
         cpu = jax.devices("cpu")[0]
     except RuntimeError:
         log("[calibrate] no CPU backend available; skipping f64 polish")
-        return state, None
-    jax.config.update("jax_enable_x64", True)
-    jax.config.update("jax_default_device", cpu)
-    state64 = cast_floating(state, jnp.float64, device=cpu)
-    if state64.points.dtype != jnp.float64:
-        log("[calibrate] float64 unavailable; skipping polish")
-        return state, None
-    data64 = cast_floating(data, jnp.float64, device=cpu)
-    with jax.default_device(cpu):
-        state64, info = run_ba(
-            state64, data64, options.polish_iterations, 1e-4, options,
-            callback=callback, state_saver=state_saver,
-        )
-    return state64, info
+        return state, data, None
+    with float64_cpu_scope():
+        state64 = cast_floating(state, jnp.float64, device=cpu)
+        if state64.points.dtype != jnp.float64:
+            log("[calibrate] float64 unavailable; skipping polish")
+            return state, data, None
+        data64 = cast_floating(data, jnp.float64, device=cpu)
+        with jax.default_device(cpu):
+            state64, info = run_ba(
+                state64, data64, options.polish_iterations, 1e-4, options,
+                callback=callback, state_saver=state_saver,
+            )
+    return state64, data64, info
 
 
 def run_ba(state, data, max_iterations, cost_reduction_threshold, options,
@@ -431,52 +462,55 @@ def calibrate(
         )
 
     # mixed-precision mode: f64 CPU polish after the f32-on-chip phases
-    # (reference: calibration.cc:1127-1133)
-    if (options.polish_iterations > 0
-            and state.points.dtype == jnp.float32):
-        state, pinfo = polish_float64(
-            state, data, options,
-            callback=vis_callback, state_saver=state_saver, log=log,
-        )
-        if pinfo is not None:
-            import jax
+    # (reference: calibration.cc:1127-1133).  The x64/CPU-device config
+    # flip is scoped to this call: the tail (metric scale, report
+    # metrics) runs inside the scope so the f64 arrays are not truncated
+    # by x64-off staging, and the scope restores the process-global
+    # config before calibrate() returns.
+    from contextlib import ExitStack
 
-            data = cast_floating(
-                data, jnp.float64, device=jax.devices("cpu")[0]
+    with ExitStack() as stack:
+        if (options.polish_iterations > 0
+                and state.points.dtype == jnp.float32):
+            state, data, pinfo = polish_float64(
+                state, data, options,
+                callback=vis_callback, state_saver=state_saver, log=log,
             )
-            if pinfo["final_cost"] is not None:
-                report["final_cost_f32"] = report["final_cost"]
-                report["polish_cost"] = pinfo["final_cost"]
-                pre = report["final_cost"]
-                log(
-                    f"[calibrate] f64 polish "
-                    f"({options.polish_iterations} iters): cost "
-                    f"{pre if pre is None else format(pre, '.6g')} -> "
-                    f"{pinfo['final_cost']:.6g}"
-                )
-                report["final_cost"] = pinfo["final_cost"]
+            if pinfo is not None:
+                stack.enter_context(float64_cpu_scope())
+                if pinfo["final_cost"] is not None:
+                    report["final_cost_f32"] = report["final_cost"]
+                    report["polish_cost"] = pinfo["final_cost"]
+                    pre = report["final_cost"]
+                    log(
+                        f"[calibrate] f64 polish "
+                        f"({options.polish_iterations} iters): cost "
+                        f"{pre if pre is None else format(pre, '.6g')} -> "
+                        f"{pinfo['final_cost']:.6g}"
+                    )
+                    report["final_cost"] = pinfo["final_cost"]
 
-    # reference skips metric scaling in localize-only mode
-    # (calibration.cc:1136-1139)
-    if (known_geometries and feature_id_to_point_index
-            and "points" not in options.freeze):
-        state, factor = scale_to_metric(
-            state, known_geometries, feature_id_to_point_index
-        )
-        report["scale_factor"] = factor
-        log(f"[calibrate] metric scale factor {factor:.6f}")
+        # reference skips metric scaling in localize-only mode
+        # (calibration.cc:1136-1139)
+        if (known_geometries and feature_id_to_point_index
+                and "points" not in options.freeze):
+            state, factor = scale_to_metric(
+                state, known_geometries, feature_id_to_point_index
+            )
+            report["scale_factor"] = factor
+            log(f"[calibrate] metric scale factor {factor:.6f}")
 
-    if visualizer is not None:
-        visualizer.update_error_histogram(state, data)
-        visualizer.update_error_directions(state, data)
-        for ci, m in enumerate(state.intrinsics):
-            visualizer.update_observation_directions(ci, m)
+        if visualizer is not None:
+            visualizer.update_error_histogram(state, data)
+            visualizer.update_error_directions(state, data)
+            for ci, m in enumerate(state.intrinsics):
+                visualizer.update_observation_directions(ci, m)
 
-    errs = observation_reprojection_errors(state, data)
-    all_err = np.concatenate([np.asarray(e) for e in errs])
-    all_err = all_err[np.isfinite(all_err)]
-    if all_err.size:
-        report["reprojection_error_median"] = float(np.median(all_err))
-        report["reprojection_error_average"] = float(np.mean(all_err))
-        report["reprojection_error_maximum"] = float(np.max(all_err))
+        errs = observation_reprojection_errors(state, data)
+        all_err = np.concatenate([np.asarray(e) for e in errs])
+        all_err = all_err[np.isfinite(all_err)]
+        if all_err.size:
+            report["reprojection_error_median"] = float(np.median(all_err))
+            report["reprojection_error_average"] = float(np.mean(all_err))
+            report["reprojection_error_maximum"] = float(np.max(all_err))
     return state, data, report

@@ -20,6 +20,7 @@ import argparse
 import glob
 import os
 import sys
+from contextlib import nullcontext as _nullcontext
 
 
 def _load_gray(path):
@@ -239,10 +240,15 @@ def cmd_calibrate(args):
         print("[calibrate] report:", {
             k: v for k, v in rep.items() if not isinstance(v, list)
         })
-        state_io.save_ba_state(
-            os.path.join(args.output_directory, "state"), state, used,
-            fid_to_idx,
-        )
+        # calibrate() restores the global x64 config on return; re-enter
+        # the scope for the save so the f64 polished state is serialized
+        # without f32 truncation (scope is a no-op for pure-f32 runs)
+        with cal.float64_cpu_scope() if polish_iterations > 0 \
+                else _nullcontext():
+            state_io.save_ba_state(
+                os.path.join(args.output_directory, "state"), state, used,
+                fid_to_idx,
+            )
         return 0
 
     model_kind = args.model
@@ -317,26 +323,31 @@ def cmd_calibrate(args):
         k: v for k, v in rep.items() if not isinstance(v, list)
     })
 
-    # 5. save state + report
-    state_io.save_ba_state(
-        os.path.join(args.output_directory, "state"), state, image_used,
-        fid_to_idx,
-    )
-    if args.report:
-        from camera_calibration_tpu.report.calibration_report import (
-            create_calibration_report,
+    # 5. save state + report.  calibrate() restores the process-global
+    # x64 config on return (library contract); the CLI re-enters the f64
+    # scope here so the polished state serializes and reports at full
+    # precision (no-op for pure-f32 runs).
+    with cal.float64_cpu_scope() if polish_iterations > 0 \
+            else _nullcontext():
+        state_io.save_ba_state(
+            os.path.join(args.output_directory, "state"), state, image_used,
+            fid_to_idx,
         )
-
-        metrics = create_calibration_report(
-            os.path.join(args.output_directory, "report"), state, data,
-            num_total_imagesets=len(dataset.imagesets),
-        )
-        for ci, m in enumerate(metrics):
-            print(
-                f"[report] camera {ci}: median "
-                f"{m['reprojection_error_median']:.4f} px, avg "
-                f"{m['reprojection_error_average']:.4f} px"
+        if args.report:
+            from camera_calibration_tpu.report.calibration_report import (
+                create_calibration_report,
             )
+
+            metrics = create_calibration_report(
+                os.path.join(args.output_directory, "report"), state, data,
+                num_total_imagesets=len(dataset.imagesets),
+            )
+            for ci, m in enumerate(metrics):
+                print(
+                    f"[report] camera {ci}: median "
+                    f"{m['reprojection_error_median']:.4f} px, avg "
+                    f"{m['reprojection_error_average']:.4f} px"
+                )
     return 0
 
 

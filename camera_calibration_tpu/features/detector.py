@@ -54,15 +54,29 @@ class DetectorOptions:
     matching_fraction: float = 0.125  # reference: 1/8 of samples (cc:1483)
     refinement_type: str = "intensity"  # intensity | gradient
     max_rounds: int = 64
-    cost_quartile_factor: float = 2.0  # quartile outlier rejection
+    # Quartile outlier rejection: Q3 + factor·IQR on refinement costs,
+    # with a STRICTER factor within 2·window_half_size of the image
+    # border — the refinement window overlaps the border there, so the
+    # grid search cannot escape local minima as reliably (reference:
+    # feature_detector_tagged_pattern.cc:396-401).
+    cost_quartile_factor: float = 6.0
+    cost_quartile_factor_near_border: float = 1.0
     min_axis_neighbors: int = 2  # geometric validation (cc:447-457)
     collinearity_length_ratio: float = 1.5  # cc:100-135
     collinearity_max_angle_deg: float = 5.0
+    # Max angle between the perpendicular lattice direction at a feature
+    # and at each of its axis neighbors (cc:500-560).
+    perpendicular_max_angle_deg: float = 25.0
     seed: int = 0
     # detect_batch device-memory bound: images are processed in chunks so
     # the stacked (B, H, W) image tensor stays under this many pixels
     # (~256 MB at f32 by default)
     max_batch_pixels: int = 64 * 1024 * 1024
+    # Rings per device dispatch: ring k+1 predicted from ring k's
+    # PREDICTED positions (speculation) so several growth rings share one
+    # dispatch+readback round trip — the growth loop's bottleneck.
+    # 1 = strict ring-at-a-time (the reference's behavior).
+    speculative_rings: int = 3
 
 
 @dataclasses.dataclass
@@ -480,6 +494,49 @@ class FeatureDetector:
         hl[:, 0:2, 2] = p[idx]
         return p[idx], hl, [cand[i] for i in idx]
 
+    def _speculative_rings(self, dets, spec, w_img, h_img, pool):
+        """Ring 1 from real detections plus up to speculative_rings-1
+        further rings predicted from the previous ring's *predicted*
+        positions, concatenated for a single device call.
+
+        Returns (predictions, h_locals, kept coords) or None."""
+        ring = self._ring_predictions(dets, spec, w_img, h_img, pool=pool)
+        if ring is None:
+            return None
+        depth = max(1, int(self.opts.speculative_rings))
+        if depth == 1:
+            return ring
+        collected = [ring]
+        spec_dets = None
+        spec_pool = None
+        for _ in range(depth - 1):
+            preds, _hl, kept = collected[-1]
+            if spec_dets is None:
+                spec_dets = dict(dets)
+                spec_pool = set(pool)
+            for k, c in enumerate(kept):
+                spec_dets[c] = FeatureDetection(
+                    position=preds[k], coord=c, cost=0.0
+                )
+            spec_pool.difference_update(kept)
+            for (cx, cy) in kept:
+                for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                    nb = (cx + dx, cy + dy)
+                    if nb not in spec_dets and spec.is_valid_feature_coord(*nb):
+                        spec_pool.add(nb)
+            nxt = self._ring_predictions(
+                spec_dets, spec, w_img, h_img, pool=spec_pool
+            )
+            if nxt is None:
+                break
+            collected.append(nxt)
+        if len(collected) == 1:
+            return ring
+        preds = np.concatenate([r[0] for r in collected])
+        hls = np.concatenate([r[1] for r in collected])
+        kept = [c for r in collected for c in r[2]]
+        return preds, hls, kept
+
     def _flat_features(self, detections):
         """Per-pattern detection dicts -> PointFeature list (pixel-corner
         convention, sequential feature ids)."""
@@ -576,18 +633,26 @@ class FeatureDetector:
         new_map = self._refine_scatter(per_pattern, images_j, all_dets)
         self._update_pools(pools, all_dets, new_map)
 
-        # --- 2. growth rounds: all images' rings in one call per pattern ---
+        # --- 2. growth rounds: all images' rings in one call per pattern.
+        # Each round additionally SPECULATES speculative_rings-1 rings
+        # ahead: ring k+1 candidates are predicted from ring k's
+        # *predicted* (pre-refinement) positions, so one device dispatch
+        # carries several rings — the loop is dispatch-bound (~30 ms/call
+        # + ~40 ms readback on the remote runtime) and prediction error
+        # stays well inside the refinement window (the refinement is a
+        # local solve; a wrong speculative start either converges to the
+        # true corner or fails its convergence/validation checks). ---
         for _ in range(self.opts.max_rounds):
             per_pattern = {pi: [] for pi in range(len(self.patterns))}
             any_ring = False
             for bi in range(n_img):
                 for pi, spec in enumerate(self.patterns):
-                    ring = self._ring_predictions(
+                    rings = self._speculative_rings(
                         all_dets[bi][pi], spec, w_img, h_img,
-                        pool=pools[bi][pi],
+                        pools[bi][pi],
                     )
-                    if ring is not None:
-                        preds, hl, kept = ring
+                    if rings is not None:
+                        preds, hl, kept = rings
                         per_pattern[pi].append((bi, kept, preds, hl))
                         any_ring = True
             if not any_ring:
@@ -720,47 +785,133 @@ class FeatureDetector:
 
     # ------------------------------ validation ------------------------------
 
-    def _validate(self, dets, image_size):
+    def _opposite_ok(self, pos_c, pos_mid, pos_far):
+        """Collinearity of (feature, neighbor, neighbor's neighbor) along
+        one lattice direction: the two vectors leaving the MIDDLE feature
+        must have similar length (ratio ≤ 1.5) and be nearly antiparallel
+        (within 5°) — reference CheckOppositeAngleAndLengthCriterion
+        (feature_detector_tagged_pattern.cc:100-135)."""
         opts = self.opts
-        if len(dets) < 8:
-            return dets
-        costs = np.asarray([d.cost for d in dets.values()])
-        q1, q3 = np.percentile(costs, [25, 75])
-        thresh = q3 + opts.cost_quartile_factor * (q3 - q1)
-        out = {
-            c: d for c, d in dets.items() if d.cost <= thresh
-        }
+        v1 = pos_c - pos_mid
+        v2 = pos_far - pos_mid
+        l1, l2 = np.linalg.norm(v1), np.linalg.norm(v2)
+        if min(l1, l2) <= 1e-9:
+            return False
+        if max(l1, l2) / min(l1, l2) > opts.collinearity_length_ratio:
+            return False
+        cosang = float(np.dot(v1, v2)) / (l1 * l2)
+        return cosang <= np.cos(
+            np.radians(180.0 - opts.collinearity_max_angle_deg)
+        )
 
-        # geometric checks (cc:447-498)
-        def has_axis_neighbors(c):
-            n = 0
-            for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1)):
-                if (c[0] + dx, c[1] + dy) in out:
-                    n += 1
-            return n >= opts.min_axis_neighbors
+    def _validate(self, dets, image_size):
+        """Outlier + geometric validation of one pattern's detections.
 
-        def collinear_ok(c):
-            d = out[c]
-            for (dx, dy) in ((1, 0), (0, 1)):
-                a = out.get((c[0] + dx, c[1] + dy))
-                b = out.get((c[0] - dx, c[1] - dy))
-                if a is None or b is None:
+        Deletion-pass parity with the reference (reference:
+        feature_detector_tagged_pattern.cc:362-560): quartile cost
+        threshold with a stricter factor near the image border, ≥2 axis
+        neighbors, opposite-neighbor angle/length collinearity (failure
+        deletes the whole triple — any of the three could be the
+        outlier), a feature with no testable direction is unvalidated
+        and deleted, and perpendicular-direction consistency (≤25°
+        between the perpendicular lattice direction at a feature and at
+        each axis neighbor).  All passes loop until nothing changes
+        (cc:411-414).
+        """
+        opts = self.opts
+        if len(dets) < 5:
+            # too few detections to estimate a cost threshold (cc:368-371)
+            return {}
+        costs = np.sort(np.asarray([d.cost for d in dets.values()]))
+        n = costs.size
+        q1 = costs[min(n - 1, int(0.25 * n + 0.5))]
+        q3 = costs[min(n - 1, int(0.75 * n + 0.5))]
+        iqr = q3 - q1
+        thresh = q3 + opts.cost_quartile_factor * iqr
+        thresh_border = q3 + opts.cost_quartile_factor_near_border * iqr
+        w_img, h_img = image_size
+        margin = 2 * opts.window_half_size
+        dirs4 = ((1, 0), (-1, 0), (0, 1), (0, -1))
+
+        out = dict(dets)
+
+        def perp_direction(c, perp):
+            """Normalized perpendicular lattice direction at coord c from
+            its ±perp neighbors (None when neither exists)."""
+            p1 = out.get((c[0] + perp[0], c[1] + perp[1]))
+            p2 = out.get((c[0] - perp[0], c[1] - perp[1]))
+            if p1 is None and p2 is None:
+                return None
+            v = np.zeros(2)
+            pos_c = out[c].position
+            if p1 is not None:
+                v = v + (p1.position - pos_c)
+            if p2 is not None:
+                v = v - (p2.position - pos_c)
+            nv = np.linalg.norm(v)
+            return v / nv if nv > 0 else None
+
+        changed = True
+        while changed:
+            changed = False
+            for c in list(out.keys()):
+                d = out.get(c)
+                if d is None:  # deleted by an earlier triple check
                     continue
-                v1 = a.position - d.position
-                v2 = d.position - b.position
-                l1, l2 = np.linalg.norm(v1), np.linalg.norm(v2)
-                if min(l1, l2) < 1e-9:
-                    return False
-                ratio = max(l1, l2) / min(l1, l2)
-                if ratio > opts.collinearity_length_ratio:
-                    return False
-                cosang = np.dot(v1, v2) / (l1 * l2)
-                if cosang < np.cos(np.radians(opts.collinearity_max_angle_deg)):
-                    return False
-            return True
-
-        validated = {}
-        for c, d in out.items():
-            if has_axis_neighbors(c) and collinear_ok(c):
-                validated[c] = d
-        return validated
+                x, y = d.position
+                near_border = (
+                    x < margin or y < margin
+                    or x > w_img - 1 - margin or y > h_img - 1 - margin
+                )
+                if d.cost > (thresh_border if near_border else thresh):
+                    del out[c]
+                    changed = True
+                    continue
+                n_axis = sum(
+                    1 for dx, dy in dirs4 if (c[0] + dx, c[1] + dy) in out
+                )
+                if n_axis < opts.min_axis_neighbors:
+                    del out[c]
+                    changed = True
+                    continue
+                validated = False
+                delete = False
+                for dx, dy in dirs4:
+                    mid_c = (c[0] + dx, c[1] + dy)
+                    far_c = (c[0] + 2 * dx, c[1] + 2 * dy)
+                    mid = out.get(mid_c)
+                    far = out.get(far_c)
+                    if mid is None or far is None:
+                        continue
+                    if not self._opposite_ok(
+                        d.position, mid.position, far.position
+                    ):
+                        del out[mid_c]
+                        del out[far_c]
+                        delete = True
+                        break
+                    validated = True
+                if delete or not validated:
+                    if c in out:
+                        del out[c]
+                    changed = True
+                    continue
+                bad = False
+                for dx, dy in dirs4:
+                    nb = (c[0] + dx, c[1] + dy)
+                    if nb not in out:
+                        continue
+                    perp = (-dy, dx)
+                    v_nb = perp_direction(nb, perp)
+                    v_c = perp_direction(c, perp)
+                    if v_nb is None or v_c is None:
+                        continue
+                    if float(np.dot(v_nb, v_c)) < np.cos(
+                        np.radians(opts.perpendicular_max_angle_deg)
+                    ):
+                        bad = True
+                        break
+                if bad:
+                    del out[c]
+                    changed = True
+        return out

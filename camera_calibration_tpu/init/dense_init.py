@@ -545,14 +545,8 @@ class DenseInitializer:
 
     # ---------------- full pipeline ----------------
 
-    def run(self):
-        """Bootstrap + incremental localization of all imagesets.
-
-        Returns a DenseInitResult or None on failure.
-        (reference: cc:1238-1449 InitializeCamera)
-        """
-        if not self.attempt_bootstrap():
-            return None
+    def _incremental_loop(self):
+        """Localize unlocalized imagesets until no progress."""
         n_sets = len(self.dataset.imagesets)
         n_localized = sum(self.image_used)
         progress = True
@@ -573,6 +567,35 @@ class DenseInitializer:
                     and n_localized % self.opts.alternating_every == 0
                 ):
                     self.alternating_refinement()
+
+    def run(self):
+        """Bootstrap + incremental localization of all imagesets.
+
+        Returns a DenseInitResult or None on failure.
+        (reference: cc:1238-1449 InitializeCamera)
+        """
+        if not self.attempt_bootstrap():
+            return None
+        while True:
+            self._incremental_loop()
+            # Disconnected pattern sheets: when the incremental loop
+            # stalls and a known geometry was never co-visible with the
+            # localized set, start a new SUBMODEL — pretend the geometry
+            # is localized at identity so images seeing only it localize
+            # against it (reference: MakeNewSubmodelForKnownGeometry,
+            # dense_initialization.cc:1194-1205, outer loop cc:1400-1414).
+            # Per-pixel direction accumulation stays valid: directions
+            # are camera-frame, and each disconnected component's image
+            # and sheet poses are mutually consistent.
+            unlocalized = [
+                gi for gi, p in enumerate(self.global_tr_known_geometry)
+                if p is None
+            ]
+            if not unlocalized:
+                break
+            self.global_tr_known_geometry[unlocalized[0]] = (
+                np.eye(3), np.zeros(3),
+            )
         return DenseInitResult(
             direction_sum=self.direction_sum,
             direction_count=self.direction_count,

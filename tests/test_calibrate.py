@@ -270,3 +270,61 @@ def test_mixed_precision_polish_certifies_error():
     assert report["polish_cost"] <= report["final_cost_f32"] * 1.001 + 1e-9, report
     # still a good calibration despite the injected noise
     assert report["reprojection_error_median"] < 0.1, report
+
+
+def test_mixed_precision_config_is_scoped():
+    """calibrate(dtype=mixed) must not leak jax_enable_x64 /
+    jax_default_device: a plain f32 optimize() afterwards in the same
+    process still stages f32 on the default backend.  (The reference's
+    polish is a *local* solver call, calibration.cc:1127-1133.)"""
+    import jax
+    import jax.numpy as jnp
+
+    from camera_calibration_tpu.ba import lm_pcg
+
+    prev_x64 = bool(jax.config.jax_enable_x64)
+    prev_dev = jax.config.jax_default_device
+    jax.config.update("jax_enable_x64", False)
+    jax.config.update("jax_default_device", None)
+    try:
+        state_gt, obs, segments, geometry, fid_to_idx = _grid_pattern_problem(
+            seed=6, n_poses=8
+        )
+        data = split_by_camera(obs, segments)
+        state0 = ba_harness.perturb_state(state_gt, seed=4, pose_rot=0.005,
+                                          pose_t=0.002, point_sigma=0.001,
+                                          knot_sigma=2e-4)
+        state0 = cal.cast_floating(state0, jnp.float32)
+        data32 = cal.cast_floating(data, jnp.float32)
+        options = cal.CalibrateOptions(
+            num_pyramid_levels=1, outlier_removal_factor=0.0,
+            final_iterations=6, polish_iterations=2,
+        )
+        state, _, report = cal.calibrate(
+            state0, data32, options,
+            known_geometries=[geometry],
+            feature_id_to_point_index=fid_to_idx,
+            log=lambda *a: None,
+        )
+        # polish actually ran and produced a float64 state
+        assert state.points.dtype == jnp.float64
+        assert "polish_cost" in report, report
+        # ... but the process-global config is back to what it was
+        assert not jax.config.jax_enable_x64
+        assert jax.config.jax_default_device is None
+        # fresh arrays stage f32 on the default backend again
+        fresh = jnp.asarray(np.arange(4, dtype=np.float64))
+        assert fresh.dtype == jnp.float32
+        assert fresh.devices() == jax.jit(lambda x: x)(
+            jnp.zeros(1)
+        ).devices()
+        # and a plain f32 optimize() still runs f32 end to end
+        st2, info = lm_pcg.optimize(
+            state0, None, None,
+            lm_pcg.BAOptions(max_lm_iterations=2), data=data32,
+        )
+        assert st2.points.dtype == jnp.float32
+        assert np.isfinite(info["final_cost"])
+    finally:
+        jax.config.update("jax_enable_x64", prev_x64)
+        jax.config.update("jax_default_device", prev_dev)

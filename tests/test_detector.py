@@ -197,3 +197,105 @@ def test_detect_batch_matches_single():
             [np.linalg.norm(f.xy - gt[cm[f.feature_id]]) for f in feats_b]
         )
         assert np.median(errs) < 0.05, np.median(errs)
+
+
+# ---------------------- validation-pass unit tests ----------------------
+# (reference: feature_detector_tagged_pattern.cc:362-560 — near-border
+# strict quartile threshold, opposite angle/length triples, perpendicular
+# -direction consistency, loop-until-stable deletion)
+
+
+def _validator(**opt_kw):
+    """A FeatureDetector shell exposing _validate without pattern setup."""
+    det = object.__new__(fdet.FeatureDetector)
+    det.opts = fdet.DetectorOptions(**opt_kw)
+    return det
+
+
+def _lattice(nx, ny, origin, step, cost=0.01):
+    dets = {}
+    for y in range(ny):
+        for x in range(nx):
+            pos = np.array(
+                [origin[0] + step[0] * x, origin[1] + step[1] * y], float
+            )
+            dets[(x, y)] = fdet.FeatureDetection(
+                position=pos, coord=(x, y), cost=cost + 1e-4 * ((x + y) % 5)
+            )
+    return dets
+
+
+def test_validate_near_border_strict_quartile():
+    """A refinement-cost outlier NEAR THE BORDER must be removed at the
+    stricter threshold while an interior feature with the SAME cost
+    survives the lenient global threshold (cc:396-446)."""
+    det = _validator()
+    # row 0 sits at y=15 < 2*window_half_size=20 -> near-border
+    dets = _lattice(10, 10, origin=(45.0, 15.0), step=(30.0, 30.0))
+    mid_cost = 0.011  # between q3 + 1*iqr and q3 + 6*iqr
+    dets[(5, 0)] = fdet.FeatureDetection(
+        position=dets[(5, 0)].position, coord=(5, 0), cost=mid_cost
+    )
+    dets[(5, 5)] = fdet.FeatureDetection(
+        position=dets[(5, 5)].position, coord=(5, 5), cost=mid_cost
+    )
+    costs = np.sort([d.cost for d in dets.values()])
+    n = costs.size
+    q1 = costs[int(0.25 * n + 0.5)]
+    q3 = costs[int(0.75 * n + 0.5)]
+    assert q3 + 1.0 * (q3 - q1) < mid_cost < q3 + 6.0 * (q3 - q1)
+
+    out = det._validate(dets, (400, 400))
+    assert (5, 0) not in out, "near-border outlier survived"
+    assert (5, 5) in out, "interior feature with same cost was removed"
+    assert len(out) == len(dets) - 1
+
+
+def test_validate_perpendicular_direction_consistency():
+    """A lattice whose perpendicular (cross-row) direction jumps by >25
+    deg across a seam — each row individually straight, spacing ratios
+    within limits, so the collinearity triples all pass — must lose the
+    seam features to the perpendicular-direction check (cc:500-560)."""
+    det = _validator()
+    # 2 rows (no vertical triples => collinearity cannot fire vertically),
+    # horizontal step 30, vertical step 20.  Shift row 1 for x >= 6 by
+    # +14 px: row-1 spacing ratio at the seam = 44/30 = 1.47 < 1.5 and
+    # the rows stay straight, but the vertical chord goes from (0,20) to
+    # (14,20) = 35 deg > 25 deg between columns 5 and 6.
+    dets = _lattice(12, 2, origin=(40.0, 60.0), step=(30.0, 20.0))
+    for x in range(6, 12):
+        d = dets[(x, 1)]
+        dets[(x, 1)] = fdet.FeatureDetection(
+            position=d.position + np.array([14.0, 0.0]),
+            coord=(x, 1), cost=d.cost,
+        )
+    out = det._validate(dets, (600, 200))
+    # the seam is direction-inconsistent: the feature whose perpendicular
+    # chord disagrees >25 deg with its right neighbor's must be removed
+    # ((5,1) then has no testable perpendicular pair left and legitimately
+    # survives — matching the reference's per-feature testability rule)
+    assert (5, 0) not in out
+    assert len(dets) - len(out) <= 2
+    # the interiors of both half-lattices are internally consistent
+    for x in (0, 1, 2, 3, 8, 9, 10, 11):
+        assert (x, 0) in out and (x, 1) in out, x
+
+
+def test_validate_jumped_feature_and_clean_lattice():
+    """A feature that jumped to a wrong local minimum (half-cell diagonal
+    displacement) is deleted by the stable-deletion loop without eroding
+    the healthy lattice; an undisturbed lattice passes through intact."""
+    det = _validator()
+    clean = _lattice(10, 10, origin=(45.0, 45.0), step=(30.0, 30.0))
+    out = det._validate(dict(clean), (400, 400))
+    assert len(out) == len(clean)
+
+    bad = dict(clean)
+    d = bad[(4, 4)]
+    bad[(4, 4)] = fdet.FeatureDetection(
+        position=d.position + np.array([15.0, 15.0]), coord=(4, 4),
+        cost=d.cost,
+    )
+    out = det._validate(bad, (400, 400))
+    assert (4, 4) not in out
+    assert len(out) >= 0.9 * len(bad)

@@ -96,16 +96,24 @@ def _make_dataset(seed=0, n_imagesets=12):
 import pytest
 
 
-@pytest.fixture(scope="module")
-def nc_init():
+# Seed robustness: the full init -> fit -> BA chain must converge on
+# multiple independent problem instances, not one lucky draw (round-3
+# verdict: the noncentral path is the reference paper's flagship model).
+SEEDS = [(1, 2), (3, 4), (5, 6)]
+
+
+@pytest.fixture(scope="module", params=SEEDS,
+                ids=[f"seed{a}-{b}" for a, b in SEEDS])
+def nc_init(request):
     """One NoncentralDenseInitializer run shared by both tests — the
-    initializer is the dominant cost (~2.5 min) and both tests consume
+    initializer is the dominant cost (~1 min) and both tests consume
     the same successful bootstrap."""
-    ds, model_gt, poses_gt = _make_dataset(seed=1)
+    seed_ds, seed_init = request.param
+    ds, model_gt, poses_gt = _make_dataset(seed=seed_ds)
     init = NoncentralDenseInitializer(
         ds, 0,
         DenseInitOptions(
-            max_initialization_attempts=80, seed=2,
+            max_initialization_attempts=80, seed=seed_init,
             min_matched_area_accept=0.2,
         ),
     )
@@ -215,9 +223,13 @@ def test_noncentral_init_fit_and_ba(nc_init):
         pixel=jnp.asarray(np.stack(pixels)),
         valid=jnp.ones(len(ims), bool),
     ),)
+    # The reference's default SchurMode is Dense — a direct solve of the
+    # pose-eliminated reduced system (joint_optimization.cc:794-814);
+    # at this problem size the exact Newton step converges in far fewer
+    # LM iterations than capped inexact CG.
     options = lm_pcg.BAOptions(
-        max_lm_iterations=30, max_pcg_iterations=60,
-        cost_reduction_threshold=1e-8,
+        max_lm_iterations=40, max_pcg_iterations=60,
+        cost_reduction_threshold=1e-9, solver="schur_direct",
     )
     state, info = lm_pcg.optimize(state, None, None, options, data=data)
     import ba_harness
