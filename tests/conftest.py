@@ -23,6 +23,31 @@ jax.config.update("jax_enable_x64", True)
 import pytest  # noqa: E402
 
 
+def pytest_collection_modifyitems(config, items):
+    """Schedule the longest-running tests first.
+
+    With xdist worksteal the wall clock is bounded by whichever worker
+    ends last; the ~12-min on-chip kernel test and the multi-minute
+    noncentral/E2E chains must START early or they extend the tail.
+    Ordering is a scheduling hint only — no test depends on order.
+    """
+    front_modules = (
+        "test_tpu_kernels",  # ~12 min on the real chip (subprocess)
+        "test_noncentral_init",  # 3 module-fixture params, ~2 min each
+        "test_image_input",  # record-CLI subprocess recompile
+        "test_stress_e2e",
+        "test_e2e",
+    )
+
+    def rank(item):
+        for i, m in enumerate(front_modules):
+            if m in item.nodeid:
+                return i
+        return len(front_modules)
+
+    items.sort(key=rank)
+
+
 @pytest.fixture(autouse=True, scope="module")
 def _clear_jax_caches_per_module():
     """Drop compiled executables between test modules.

@@ -441,3 +441,63 @@ def test_cg_warm_start_noop_warns():
             lm_pcg.BAOptions(cg_warm_start=True, solver="schur_direct",
                              lm_steps_per_call=2, max_lm_iterations=2),
         )
+
+
+def test_four_camera_rig_ba_reconverges():
+    """BA on a 4-camera fixed rig: joint re-convergence plus rig
+    extrinsics recovery — camera-index bookkeeping (anchor freezing,
+    per-camera gauge) has to hold beyond the stereo case (reference rig
+    handling: joint_optimization.cc:789-814)."""
+    from camera_calibration_tpu.ops import se3
+
+    state_gt, obs, segments = ba_harness.make_problem(
+        seed=31, n_points=50, n_poses=10, n_cameras=4
+    )
+    state0 = ba_harness.perturb_state(state_gt, seed=32)
+    options = lm_pcg.BAOptions(
+        max_lm_iterations=35, max_pcg_iterations=60,
+        cost_reduction_threshold=1e-8,
+    )
+    state, info = lm_pcg.optimize(state0, obs, segments, options)
+    err = np.asarray(ba_harness.reprojection_errors(state, obs, segments))
+    assert np.median(err) < 1e-3, (np.median(err), info["final_cost"])
+    # Rig geometry recovery.  cam_q_rig alone is NOT gauge-free: each
+    # camera's spline grid can absorb a rotation compensated in its
+    # extrinsics (the per-camera rotation ambiguity the reference leaves
+    # to damping, joint_optimization.cc:816-864), and camera 0's gauge
+    # rotates the whole rig frame.  The invariants are (a) camera centers
+    # in the rig frame (up to the free global scale) and (b) rig-frame
+    # ray bundles up to ONE global rotation shared by all cameras.
+    import jax.numpy as jnp
+
+    from camera_calibration_tpu.models import central_generic as cg
+
+    scale = float(
+        np.linalg.norm(np.asarray(state.points[1] - state.points[0]))
+        / max(np.linalg.norm(
+            np.asarray(state_gt.points[1] - state_gt.points[0])), 1e-12)
+    )
+    xs = np.linspace(6, 58, 9)
+    ys = np.linspace(6, 42, 7)
+    gx, gy = np.meshgrid(xs, ys)
+    px = jnp.asarray(np.stack([gx, gy], -1).reshape(-1, 2))
+
+    def rig_rays(st, c):
+        d, _ = cg.unproject(st.intrinsics[c], px)
+        r_c = np.asarray(se3.quat_to_matrix(st.cam_q_rig[c]))
+        return np.asarray(d) @ r_c  # row-vector d_rig = R_c^T d_cam
+
+    rec = np.concatenate([rig_rays(state, c) for c in range(4)])
+    gt = np.concatenate([rig_rays(state_gt, c) for c in range(4)])
+    u, _, vt = np.linalg.svd(rec.T @ gt)
+    r0 = u @ np.diag([1, 1, np.sign(np.linalg.det(u @ vt))]) @ vt
+    ang = np.degrees(np.arccos(np.clip(
+        np.sum((rec @ r0) * gt, -1), -1, 1)))
+    assert np.median(ang) < 0.05, np.median(ang)
+    for c in range(1, 4):
+        r_rec = np.asarray(se3.quat_to_matrix(state.cam_q_rig[c]))
+        ctr_rec = -r_rec.T @ np.asarray(state.cam_t_rig[c]) / scale
+        r_gt = np.asarray(se3.quat_to_matrix(state_gt.cam_q_rig[c]))
+        ctr_gt = -r_gt.T @ np.asarray(state_gt.cam_t_rig[c])
+        dt = np.linalg.norm(r0.T @ ctr_rec - ctr_gt)
+        assert dt < 1e-3, (c, dt, scale)

@@ -147,7 +147,10 @@ def test_record_cli_end_to_end(tmp_path):
             "--output_directory", out,
             "--max_imagesets", "2",
         ],
-        capture_output=True, text=True, env=env, timeout=600,
+        # load-proof: a fresh subprocess recompiles the whole detector
+        # stack on XLA:CPU — 15 s in isolation but minutes when sharing
+        # the box with 4 xdist workers and the on-chip kernel test
+        capture_output=True, text=True, env=env, timeout=1800,
     )
     assert r.returncode == 0, r.stdout + r.stderr
     ds = dataset_bin.load_dataset(os.path.join(out, "dataset.bin"))

@@ -109,11 +109,16 @@ def test_grid_block_sharded_step_matches():
     )
 
 
-def test_sharded_stereo_rig_step_matches():
-    """Sharded BA equivalence with a 2-camera rig (uneven per-camera
-    tables; extrinsics + two intrinsics grids in the state)."""
+import pytest
+
+
+@pytest.mark.parametrize("n_cameras", [2, 3])
+def test_sharded_stereo_rig_step_matches(n_cameras):
+    """Sharded BA equivalence with a multi-camera rig (uneven per-camera
+    tables; extrinsics + per-camera intrinsics grids in the state); the
+    3-camera case covers rig bookkeeping beyond stereo."""
     state_gt, obs, segments = ba_harness.make_problem(
-        seed=7, n_points=40, n_poses=8, n_cameras=2
+        seed=7, n_points=40, n_poses=8, n_cameras=n_cameras
     )
     state0 = ba_harness.perturb_state(state_gt, seed=8)
     data = tuple(pad_table(s, 8) for s in split_by_camera(obs, segments))
