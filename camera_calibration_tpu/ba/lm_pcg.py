@@ -123,6 +123,14 @@ class BAOptions:
     # differ only in λ and the (small) block updates, so the previous
     # step is usually an excellent initial iterate.
     cg_warm_start: bool = False
+    # Jacobian-block dtype INSIDE the CG matvecs ("float32"|"bfloat16").
+    # The CG sweeps are HBM-bound on the cached Jacobian rows; bf16
+    # copies halve the bytes while the gradient, RHS, preconditioner and
+    # accept test stay f32 — the ~4e-3 relative Hessian perturbation is
+    # far inside the inexact-Newton truncation already accepted
+    # (pcg_rel_tolerance 0.03, capped iterations), so only the CG
+    # iterate path changes, never what "converged" means.
+    cg_jacobian_dtype: str = "float32"
 
 
 @dataclasses.dataclass
@@ -569,6 +577,39 @@ def _apply_jt_subset(data, blocks, s_list, state: BAState, *, rig=True,
     return BATangent(rig=rig_t, cam=cam_t, points=pts_t, intr=tuple(intr_t))
 
 
+def _cg_cast_blocks(blocks, options):
+    """bf16 copies of the Jacobian blocks for the CG matvec sweeps.
+
+    Residuals/weights/validity stay f32 (they feed costs and RHS); only
+    the Jacobian rows — the HBM traffic of the matvecs — are halved.
+    """
+    if options.cg_jacobian_dtype != "bfloat16":
+        return blocks
+    bf = jnp.bfloat16
+
+    def cast(x):
+        # optimization_barrier forces the bf16 copy to MATERIALIZE once
+        # per solve; otherwise XLA rematerializes the cheap convert into
+        # every CG sweep, which re-reads the f32 rows each iteration and
+        # erases the bandwidth win.
+        return jax.lax.optimization_barrier(x.astype(bf))
+
+    out = []
+    for b in blocks:
+        bi = b.intr
+        if isinstance(bi, res.GridIntr):
+            bi = res.GridIntr(j_win=cast(bi.j_win), base_xy=bi.base_xy,
+                              k_tangent=bi.k_tangent)
+        else:
+            bi = res.DenseIntr(j_params=cast(bi.j_params))
+        out.append(res.ObsBlocks(
+            r=b.r, j_rig=cast(b.j_rig), j_cam=cast(b.j_cam),
+            j_point=cast(b.j_point), intr=bi, weight=b.weight,
+            valid=b.valid, cost=b.cost,
+        ))
+    return out
+
+
 def schur_pcg_solve(data, blocks, state, grad, block_diag, lam, mask, options,
                     eliminate: str = "points", x0=None):
     """Solve (JᵀWJ + λI) δ = −grad by block elimination + PCG.
@@ -650,14 +691,31 @@ def schur_pcg_solve(data, blocks, state, grad, block_diag, lam, mask, options,
 
     mask_keep_flat, unravel = ravel_pytree(zero_elim(mask))
 
+    # CG matvecs sweep the Jacobian cache once per iteration (HBM-bound);
+    # they optionally run on bf16 copies.  RHS assembly and the final
+    # back-substitution below keep the f32 blocks.
+    blocks_mv = _cg_cast_blocks(blocks, options)
+
     def matvec_flat(vf):
         v = unravel(vf * mask_keep_flat)
-        u = apply_j_keep(v)
-        t_e = apply_jt_elim(u)
+        u = _apply_j_subset(data, blocks_mv, v, **keep)
+        t_e = _apply_jt_subset(
+            data, blocks_mv, u, state,
+            rig=(eliminate == "poses"), cam=False,
+            points=(eliminate == "points"), intr=False,
+        )
+        t_e = get_elim(t_e)
         y_e = jnp.einsum("pjk,pk->pj", d_inv, t_e)
-        u2 = apply_j_elim(y_e)
+        t2 = with_elim(zero_tangent(state), y_e)
+        u2 = _apply_j_subset(
+            data, blocks_mv, t2,
+            rig=(eliminate == "poses"), cam=False,
+            points=(eliminate == "points"), intr=False,
+        )
         diff = [a - b_ for a, b_ in zip(u, u2)]
-        out = ravel_pytree(apply_jt_keep(diff))[0]
+        out = ravel_pytree(
+            _apply_jt_subset(data, blocks_mv, diff, state, **keep)
+        )[0]
         return (out + lam * vf) * mask_keep_flat
 
     def precond_flat(rf):
@@ -903,11 +961,12 @@ def pcg_solve(data, blocks, state, grad, block_diag, lam, mask, options,
 
     mask_flat, unravel = ravel_pytree(mask)
     precond = make_block_preconditioner(block_diag, lam, state)
+    blocks_mv = _cg_cast_blocks(blocks, options)
 
     def matvec_flat(vf):
         v = unravel(vf * mask_flat)
-        jv = apply_j(data, blocks, v)
-        hv = ravel_pytree(apply_jtw(data, blocks, jv, state))[0]
+        jv = apply_j(data, blocks_mv, v)
+        hv = ravel_pytree(apply_jtw(data, blocks_mv, jv, state))[0]
         return (hv + lam * vf) * mask_flat
 
     def precond_flat(rf):

@@ -348,7 +348,12 @@ def intr_apply_j(intr, tangent_intr):
         n = intr.j_win.shape[-1]
         if wp.window_pallas_enabled(intr.j_win.dtype):
             return wp.window_apply_j(intr.j_win, intr.base_xy, tangent_intr)
-        oy, ox = _window_onehots(intr.base_xy, gh, gw, intr.j_win.dtype)
+        # XLA fallback: upcast bf16 rows so the n-axis reductions
+        # accumulate in f32 (the Pallas path upcasts in VMEM)
+        j_win = intr.j_win
+        if j_win.dtype == jnp.bfloat16:
+            j_win = j_win.astype(jnp.float32)
+        oy, ox = _window_onehots(intr.base_xy, gh, gw, j_win.dtype)
         # Batched window gather (XLA fallback path; the TPU hot path is
         # the Pallas kernel above): two batched contractions instead of
         # ~50 small 2-D ops.  The op count matters under GSPMD
@@ -364,8 +369,8 @@ def intr_apply_j(intr, tangent_intr):
         )  # (4, n, gw, k): tangent row at (by+y) per observation
         wv = jnp.einsum("xnw,ynwj->yxjn", ox_s, rowsel)  # (4, 4, k, n)
         wv = wv.reshape(16 * k, n)
-        out0 = jnp.sum(intr.j_win[: 16 * k] * wv, axis=0)
-        out1 = jnp.sum(intr.j_win[16 * k:] * wv, axis=0)
+        out0 = jnp.sum(j_win[: 16 * k] * wv, axis=0)
+        out1 = jnp.sum(j_win[16 * k:] * wv, axis=0)
         return jnp.stack([out0, out1], axis=-1)
     return jnp.einsum("nik,k->ni", intr.j_params, tangent_intr)
 
@@ -381,7 +386,10 @@ def intr_apply_jtw(intr, ws, tangent_shape_like):
             return wp.window_apply_jtw(
                 intr.j_win, intr.base_xy, ws, gh, gw, k
             )
-        oy, ox = _window_onehots(intr.base_xy, gh, gw, intr.j_win.dtype)
+        j_win = intr.j_win
+        if j_win.dtype == jnp.bfloat16:
+            j_win = j_win.astype(jnp.float32)
+        oy, ox = _window_onehots(intr.base_xy, gh, gw, j_win.dtype)
         # Batched window scatter (XLA fallback; see intr_apply_j note):
         # ONE contraction over the observation axis — a single collective
         # under observation sharding instead of 16·k — preceded by a
@@ -389,8 +397,8 @@ def intr_apply_jtw(intr, ws, tangent_shape_like):
         oy_s = jnp.stack(oy)  # (4, n, gh)
         ox_s = jnp.stack(ox)  # (4, n, gw)
         c = (
-            intr.j_win[: 16 * k] * ws[:, 0]
-            + intr.j_win[16 * k:] * ws[:, 1]
+            j_win[: 16 * k] * ws[:, 0]
+            + j_win[16 * k:] * ws[:, 1]
         ).reshape(4, 4, k, n)
         t = jnp.einsum("xnw,yxjn->ynwj", ox_s, c)  # (4, n, gw, k)
         return jnp.einsum("ynh,ynwj->hwj", oy_s, t)

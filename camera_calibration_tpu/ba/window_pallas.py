@@ -42,10 +42,11 @@ _DEFAULT = jax.lax.Precision.DEFAULT
 
 
 def window_pallas_enabled(dtype) -> bool:
-    """Static switch: TPU-like backend + f32 (CPU tests run the XLA path)."""
+    """Static switch: TPU-like backend + f32/bf16 (CPU tests run the XLA
+    path; bf16 rows are the CG matvecs' half-bandwidth Jacobian cache)."""
     if os.environ.get("CCT_PALLAS", "1") == "0":
         return False
-    if dtype != jnp.float32:
+    if dtype not in (jnp.float32, jnp.bfloat16):
         return False
     try:
         from camera_calibration_tpu.config import effective_backend
@@ -87,9 +88,10 @@ def _apply_jtw_kernel(jwin_ref, base_ref, ws_ref, out_ref, *, gh, gwp, k):
     bcomb = base_ref[1:2, :] * gwp + base_ref[0:1, :]  # (1, t): by·gwp+bx
     iota_c = jax.lax.broadcasted_iota(jnp.int32, (t, cells), 1)
     p = jnp.where(iota_c == bcomb.T, 1.0, 0.0)  # (t, cells)
+    jw = jwin_ref[...].astype(jnp.float32)  # bf16 rows upcast in VMEM
     c = (
-        jwin_ref[: 16 * k, :] * ws_ref[0:1, :]
-        + jwin_ref[16 * k:, :] * ws_ref[1:2, :]
+        jw[: 16 * k, :] * ws_ref[0:1, :]
+        + jw[16 * k:, :] * ws_ref[1:2, :]
     )  # (16k, t)
     out_ref[...] = out_ref[...] + _hilo_dot(c, p)
 
@@ -108,6 +110,7 @@ def _block_diag_kernel(jwin_ref, base_ref, w_ref, out_ref, *, gh, gwp, k):
     iota_c = jax.lax.broadcasted_iota(jnp.int32, (t, cells), 1)
     p = jnp.where(iota_c == bcomb.T, 1.0, 0.0)
     wrow = w_ref[0:1, :]
+    jw = jwin_ref[...].astype(jnp.float32)
     rows = []
     for y in range(4):
         for x in range(4):
@@ -117,9 +120,9 @@ def _block_diag_kernel(jwin_ref, base_ref, w_ref, out_ref, *, gh, gwp, k):
                     fl = (y * 4 + x) * k + l
                     rows.append(
                         (
-                            jwin_ref[fj:fj + 1, :] * jwin_ref[fl:fl + 1, :]
-                            + jwin_ref[16 * k + fj:16 * k + fj + 1, :]
-                            * jwin_ref[16 * k + fl:16 * k + fl + 1, :]
+                            jw[fj:fj + 1, :] * jw[fl:fl + 1, :]
+                            + jw[16 * k + fj:16 * k + fj + 1, :]
+                            * jw[16 * k + fl:16 * k + fl + 1, :]
                         )
                         * wrow
                     )
@@ -146,10 +149,9 @@ def _apply_j_kernel(jwin_ref, base_ref, ts_hi_ref, ts_lo_ref, out_ref, *,
                               preferred_element_type=jnp.float32,
                               precision=_DEFAULT)
     )  # (16k, t)
-    out_ref[0:1, :] = jnp.sum(jwin_ref[: 16 * k, :] * m2, axis=0,
-                              keepdims=True)
-    out_ref[1:2, :] = jnp.sum(jwin_ref[16 * k:, :] * m2, axis=0,
-                              keepdims=True)
+    jw = jwin_ref[...].astype(jnp.float32)
+    out_ref[0:1, :] = jnp.sum(jw[: 16 * k, :] * m2, axis=0, keepdims=True)
+    out_ref[1:2, :] = jnp.sum(jw[16 * k:, :] * m2, axis=0, keepdims=True)
 
 
 def _pad_cols(a, n_pad, fill=0.0):
@@ -258,8 +260,10 @@ def window_apply_j(j_win, base_xy, tangent_intr):
     ts = jnp.stack(rows, axis=0)  # (16k, gh·gwp)
     ts_hi = ts.astype(jnp.bfloat16).astype(jnp.float32)
     ts_lo = ts - ts_hi
+    if jwin_p.dtype != jnp.bfloat16:
+        jwin_p = jwin_p.astype(jnp.float32)
     out = _apply_j_call(
-        jwin_p.astype(jnp.float32), base_p, ts_hi, ts_lo, k, _TILE, gh, gwp
+        jwin_p, base_p, ts_hi, ts_lo, k, _TILE, gh, gwp
     )
     return out[:, :n].T
 
@@ -286,8 +290,10 @@ def window_apply_jtw(j_win, base_xy, ws, gh, gw, k):
     jwin_p = _pad_cols(j_win, n_pad)
     base_p = _pad_cols(base_xy.T.astype(jnp.int32), n_pad)
     ws_p = _pad_cols(ws.T.astype(jnp.float32), n_pad)
+    if jwin_p.dtype != jnp.bfloat16:
+        jwin_p = jwin_p.astype(jnp.float32)
     m = _apply_jtw_call(
-        jwin_p.astype(jnp.float32), base_p, ws_p, k, _TILE, gh, gwp
+        jwin_p, base_p, ws_p, k, _TILE, gh, gwp
     )
     planes = m.reshape(16 * k, gh, gwp)[:, :, :gw]
     slot_yx = [
@@ -305,8 +311,10 @@ def window_block_diag(j_win, base_xy, w, gh, gw, k):
     jwin_p = _pad_cols(j_win, n_pad)
     base_p = _pad_cols(base_xy.T.astype(jnp.int32), n_pad)
     w_p = _pad_cols(w[None, :].astype(jnp.float32), n_pad)
+    if jwin_p.dtype != jnp.bfloat16:
+        jwin_p = jwin_p.astype(jnp.float32)
     m = _block_diag_call(
-        jwin_p.astype(jnp.float32), base_p, w_p, k, _TILE, gh, gwp
+        jwin_p, base_p, w_p, k, _TILE, gh, gwp
     )
     kk2 = k * (k + 1) // 2
     planes = m.reshape(16 * kk2, gh, gwp)[:, :, :gw]

@@ -75,8 +75,11 @@ class DetectorOptions:
     # Rings per device dispatch: ring k+1 predicted from ring k's
     # PREDICTED positions (speculation) so several growth rings share one
     # dispatch+readback round trip — the growth loop's bottleneck.
-    # 1 = strict ring-at-a-time (the reference's behavior).
-    speculative_rings: int = 3
+    # 1 = strict ring-at-a-time (the reference's behavior).  Measured on
+    # the 50x72 board (single image, warm): 1 -> 5.3 s, 2 -> 4.1 s,
+    # 3 -> 4.3 s (deeper speculation re-refines more failed frontier
+    # candidates than it saves dispatches).
+    speculative_rings: int = 2
 
 
 @dataclasses.dataclass

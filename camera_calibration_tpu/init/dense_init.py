@@ -34,11 +34,30 @@ import dataclasses
 
 import numpy as np
 
+import functools
+
 from camera_calibration_tpu.ba.dataset import Dataset
 from camera_calibration_tpu.init.p3p import ransac_p3p
 from camera_calibration_tpu.init.relative_pose import central_planar_relative_pose
 
 import jax.numpy as jnp
+
+
+@functools.lru_cache(maxsize=1)
+def _rs_central_planar_jit():
+    """Jitted fixed-shape Ramalingam-Sturn bootstrap solver, pinned to
+    the CPU backend (tiny SVD systems; host-orchestration phase)."""
+    import jax
+
+    from camera_calibration_tpu.init.p3p import _host_device_ctx
+
+    jitted = jax.jit(central_planar_relative_pose)
+
+    def run(clouds, weights):
+        with _host_device_ctx():
+            return jitted(clouds, weights)
+
+    return run
 
 
 @dataclasses.dataclass
@@ -276,11 +295,22 @@ class DenseInitializer:
             if n_common < max(4, self.opts.min_matched_area_attempt * n_px):
                 continue
             clouds = np.stack([pts[common][:, :2] for pts, _ in dm])  # (3,N,2)
-            # Subsample for the SVD systems.
+            # Fixed 512-row shape for the SVD systems: subsample when
+            # larger, zero-weight-pad when smaller — the RS solver is
+            # weight-masked, so ONE jitted compilation serves every
+            # attempt (variable shapes previously recompiled per attempt
+            # and dominated the bootstrap wall clock).
             if clouds.shape[1] > 512:
                 sel = self.rng.choice(clouds.shape[1], 512, replace=False)
                 clouds = clouds[:, sel]
-            out = central_planar_relative_pose(jnp.asarray(clouds))
+            n_c = clouds.shape[1]
+            wts = np.zeros(512)
+            wts[:n_c] = 1.0
+            if n_c < 512:
+                clouds = np.pad(clouds, ((0, 0), (0, 512 - n_c), (0, 0)))
+            out = _rs_central_planar_jit()(
+                jnp.asarray(clouds), jnp.asarray(wts)
+            )
             if not bool(out["ok"]):
                 continue
             frac = n_common / n_px

@@ -168,15 +168,63 @@ def ransac_p3p(
 
     r, t = best
     if polish:
-        q0 = se3.matrix_to_quat(jnp.asarray(r))
-        in_pts = jnp.asarray(points[best_inliers])
-        in_bear = jnp.asarray(bearings[best_inliers])
+        # Pad the inlier set to a power-of-two bucket (masked rows weigh
+        # zero) and run one cached jitted polish per bucket size: dense
+        # init localizes dozens of images with different inlier counts,
+        # and retracing/recompiling the LM per count dominated its wall
+        # clock (411 XLA compiles in a 20-image run).  The tiny SE(3)
+        # solve is also pinned to the CPU backend — this is host
+        # orchestration; round-tripping a 6-DoF solve through a remote
+        # accelerator costs more than the solve.
+        n_in = int(best_inliers.sum())
+        m = max(8, 1 << (n_in - 1).bit_length())
+        pts_p = np.empty((m, 3))
+        bear_p = np.empty((m, 3))
+        pts_p[:n_in] = points[best_inliers]
+        bear_p[:n_in] = bearings[best_inliers]
+        pts_p[n_in:] = pts_p[0]
+        bear_p[n_in:] = bear_p[0]
+        mask_p = np.zeros((m, 1))
+        mask_p[:n_in] = 1.0
 
+        with _host_device_ctx():
+            q0 = se3.matrix_to_quat(jnp.asarray(r))
+            q, tt = _polish_jit()(
+                q0, jnp.asarray(t), jnp.asarray(pts_p), jnp.asarray(bear_p),
+                jnp.asarray(mask_p),
+            )
+            r = np.asarray(se3.quat_to_matrix(q))
+            t = np.asarray(tt)
+    return r, t, best_inliers
+
+
+def _host_device_ctx():
+    """CPU default-device context (no-op when no CPU backend exists)."""
+    import contextlib
+
+    import jax
+
+    try:
+        return jax.default_device(jax.devices("cpu")[0])
+    except RuntimeError:
+        return contextlib.nullcontext()
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=1)
+def _polish_jit():
+    """Jitted SE(3) bearing-alignment polish (shared across all callers;
+    compiles once per padded bucket size)."""
+    import jax
+
+    def run(q0, t0, pts, bear, mask):
         def residual_fn(pose):
             q, tt = pose
-            d = se3.quat_rotate(se3.quat_conj(q), in_pts - tt)
+            d = se3.quat_rotate(se3.quat_conj(q), pts - tt)
             d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
-            return (d - in_bear).reshape(-1)
+            return ((d - bear) * mask).reshape(-1)
 
         def retract_fn(pose, delta):
             q, tt = pose
@@ -186,12 +234,11 @@ def ransac_p3p(
         result = lm_solve(
             residual_fn,
             retract_fn,
-            (q0, jnp.asarray(t)),
-            jnp.zeros((6,)),
+            (q0, t0),
+            jnp.zeros((6,), q0.dtype),
             max_iterations=10,
             cg_iterations=12,
         )
-        q, tt = result.state
-        r = np.asarray(se3.quat_to_matrix(q))
-        t = np.asarray(tt)
-    return r, t, best_inliers
+        return result.state
+
+    return jax.jit(run)
