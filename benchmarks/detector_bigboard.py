@@ -52,7 +52,11 @@ for coord in spec.valid_feature_coords():
 print(f"{len(gt)} ground-truth corners")
 
 det = fdet.FeatureDetector([spec])
-for run in range(2):
+# min over repeats: the remote TPU runtime's dispatch latency varies by
+# >2x between sessions and the detector is dispatch-bound, so a single
+# warm measurement conflates detector cost with runtime weather
+warm_times = []
+for run in range(4):
     t0 = time.perf_counter()
     features, per_pattern = det.detect(img)
     dt = time.perf_counter() - t0
@@ -61,12 +65,16 @@ for run in range(2):
         # detections are pixel-center convention; gt is pixel-corner
         errs.append(np.linalg.norm(np.asarray(d.position) + 0.5 - gt[coord]))
     errs = np.array(errs)
-    tag = "cold" if run == 0 else "warm"
+    tag = "cold" if run == 0 else f"warm[{run}]"
+    if run > 0:
+        warm_times.append(dt)
     print(
         f"{tag}: {len(features)}/{len(gt)} features in {dt:.1f}s "
         f"({dt / max(len(features), 1) * 1e3:.2f} ms/feature), "
-        f"median err {np.median(errs):.4f} px"
+        f"median err {np.median(errs):.4f} px", flush=True,
     )
+print(f"warm best of {len(warm_times)}: {min(warm_times):.1f}s "
+      f"({min(warm_times) / max(len(features), 1) * 1e3:.2f} ms/feature)")
 
 # --- cross-image batch: rings of all images share each device call ---
 n_batch = 8
@@ -95,7 +103,8 @@ for k in range(1, n_batch):
     gts.append(gk)
 
 det_b = fdet.FeatureDetector([spec])
-for run in range(2):
+batch_times = []
+for run in range(3):
     t0 = time.perf_counter()
     results = det_b.detect_batch(imgs)
     dt = time.perf_counter() - t0
@@ -105,10 +114,15 @@ for run in range(2):
         for coord, d in dets[0].items():
             errs.append(np.linalg.norm(np.asarray(d.position) + 0.5 - gk[coord]))
     errs = np.array(errs)
-    tag = "batch cold" if run == 0 else "batch warm"
+    tag = "batch cold" if run == 0 else f"batch warm[{run}]"
+    if run > 0:
+        batch_times.append(dt)
     print(
         f"{tag}: {n_feats}/{n_batch * len(gt)} features over {n_batch} "
         f"images in {dt:.1f}s ({dt / n_batch:.2f} s/image, "
         f"{dt / max(n_feats, 1) * 1e3:.2f} ms/feature), "
         f"median err {np.median(errs):.4f} px"
     )
+print(f"batch warm best of {len(batch_times)}: {min(batch_times):.1f}s "
+      f"({min(batch_times) / n_batch:.2f} s/image, "
+      f"{min(batch_times) / max(n_feats, 1) * 1e3:.2f} ms/feature)")

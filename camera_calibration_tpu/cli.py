@@ -605,28 +605,34 @@ def cmd_render_synthetic(args):
     (reference: tools/render_synthetic_dataset.cc:43)."""
     import numpy as np
     import cv2
-    import jax.numpy as jnp
 
     from camera_calibration_tpu.features import pattern as pat
-    from camera_calibration_tpu.models import pinhole
-    from camera_calibration_tpu.ops import se3
 
     spec = pat.load_pattern_yaml(args.pattern_file)
     rng = np.random.default_rng(args.seed)
     w, h = args.width, args.height
-    cam = pinhole.make_pinhole(0.85 * w, 0.85 * w, 0.5 * w, 0.5 * h, w, h)
+    fx = fy = 0.85 * w
+    cx, cy = 0.5 * w, 0.5 * h
     os.makedirs(args.output_directory, exist_ok=True)
     cell = spec.square_length_in_meters
     off_x = (spec.squares_x - 1) * cell / 2
     off_y = (spec.squares_y - 1) * cell / 2
-    k_mat = np.array(
-        [[float(cam.fx), 0, float(cam.cx)], [0, float(cam.fy), float(cam.cy)],
-         [0, 0, 1]]
-    )
+    k_mat = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1.0]])
     renderer = pat.make_tag_renderer(spec) if spec.tags else None
+
+    def _rodrigues(a):
+        # host NumPy: per-image jnp scalar math would compile each tiny
+        # op on the (possibly remote) accelerator — measured ~0.6 s per
+        # compile, dominating the whole render
+        th = np.linalg.norm(a)
+        if th < 1e-12:
+            return np.eye(3)
+        k = a / th
+        kx = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]])
+        return np.eye(3) + np.sin(th) * kx + (1 - np.cos(th)) * kx @ kx
+
     for i in range(args.num_images):
-        q = se3.quat_exp(jnp.asarray(rng.normal(0, 0.12, 3)))
-        r = np.asarray(se3.quat_to_matrix(q))
+        r = _rodrigues(rng.normal(0, 0.12, 3))
         t = np.array(
             [-off_x + rng.normal(0, 0.05), -off_y + rng.normal(0, 0.05),
              rng.uniform(args.min_z, args.max_z)]
