@@ -18,6 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from camera_calibration_tpu.ba.gn import lm_solve
+from camera_calibration_tpu.init.p3p import _host_device_ctx
 from camera_calibration_tpu.models import central_generic as cg
 from camera_calibration_tpu.models.base import replace
 from camera_calibration_tpu.ops import bspline, manifolds
@@ -102,7 +103,7 @@ def fit_central_generic_to_dense(
     calibration_min_y=0,
     calibration_max_x=None,
     calibration_max_y=None,
-    max_sample_count: int = 40000,
+    max_sample_count: int = 12000,
     max_iterations: int = 30,
     cg_iterations: int = 60,
     dtype=jnp.float64,
@@ -110,6 +111,9 @@ def fit_central_generic_to_dense(
     """Fit a CentralGenericModel to a dense (H, W, 3) direction image.
 
     Returns the fitted model.  (reference: central_generic.cc:267-418)
+    max_sample_count 12k keeps ≥20 samples per knot cell at VGA with the
+    default ~25 px/cell grids while running 3× faster than the previous
+    40k (fit quality saturates f32 well below both).
     """
     dense_dirs = np.asarray(dense_dirs, np.float64)
     valid = np.asarray(valid, bool)
@@ -134,7 +138,6 @@ def fit_central_generic_to_dense(
         calibration_max_y=int(calibration_max_y),
     )
     grid0 = _seed_grid_from_dense(dense_dirs, valid, model)
-    model = replace(model, grid=jnp.asarray(grid0, dtype))
 
     # Subsample valid pixels for the refinement.
     vy, vx = np.nonzero(valid)
@@ -142,29 +145,43 @@ def fit_central_generic_to_dense(
     stride = max(1, n_valid // max_sample_count)
     sel = np.arange(0, n_valid, stride)
     px = np.stack([vx[sel] + 0.5, vy[sel] + 0.5], -1).astype(np.float64)
-    target = dense_dirs[vy[sel], vx[sel]]
-    target /= np.linalg.norm(target, axis=-1, keepdims=True)
+    target_np = dense_dirs[vy[sel], vx[sel]]
+    target_np /= np.linalg.norm(target_np, axis=-1, keepdims=True)
 
-    gxy = cg.pixel_to_grid(model, jnp.asarray(px, dtype))
-    target = jnp.asarray(target, dtype)
+    # The whole refinement runs pinned to the CPU backend: its residual
+    # is a vmapped per-sample window GATHER, which executes orders of
+    # magnitude below TPU speed-of-light (gathers serialize per row) —
+    # the ~40k-sample LM while_loop became a minutes-long single device
+    # program that the remote TPU runtime kills (worker crash).  Model
+    # fitting is initialization-scale work; the BA hot path has its own
+    # MXU-shaped spline evaluation.
+    with _host_device_ctx():
+        model = replace(model, grid=jnp.asarray(grid0, dtype))
+        gxy = cg.pixel_to_grid(model, jnp.asarray(px, dtype))
+        target = jnp.asarray(target_np, dtype)
 
-    def residual_fn(grid):
-        dirs = jax.vmap(lambda p: bspline.eval_surface(grid, p[0], p[1]))(gxy)
-        dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
-        return (dirs - target).reshape(-1)
+        def residual_fn(grid):
+            dirs = jax.vmap(
+                lambda p: bspline.eval_surface(grid, p[0], p[1])
+            )(gxy)
+            dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+            return (dirs - target).reshape(-1)
 
-    def retract_fn(grid, tangent):
-        return manifolds.retract_direction(grid, tangent)
+        def retract_fn(grid, tangent):
+            return manifolds.retract_direction(grid, tangent)
 
-    result = lm_solve(
-        residual_fn,
-        retract_fn,
-        model.grid,
-        jnp.zeros((gh, gw, 2), dtype),
-        max_iterations=max_iterations,
-        cg_iterations=cg_iterations,
-    )
-    return replace(model, grid=result.state)
+        result = lm_solve(
+            residual_fn,
+            retract_fn,
+            model.grid,
+            jnp.zeros((gh, gw, 2), dtype),
+            max_iterations=max_iterations,
+            cg_iterations=cg_iterations,
+        )
+        grid_np = np.asarray(result.state)
+    # return UNCOMMITTED arrays on the default backend so downstream BA
+    # is free to run on the accelerator
+    return replace(model, grid=jnp.asarray(grid_np, dtype))
 
 
 def _seed_values_from_dense(dense_vals, valid, model):
@@ -225,7 +242,7 @@ def fit_noncentral_to_lines(
     *,
     width=None,
     height=None,
-    max_sample_count: int = 40000,
+    max_sample_count: int = 12000,
     max_iterations: int = 30,
     cg_iterations: int = 60,
     dtype=jnp.float64,
@@ -274,27 +291,35 @@ def fit_noncentral_to_lines(
     stride = max(1, vy.size // max_sample_count)
     sel = np.arange(0, vy.size, stride)
     px = np.stack([vx[sel] + 0.5, vy[sel] + 0.5], -1).astype(np.float64)
-    target = jnp.asarray(line_anchors[vy[sel], vx[sel]], dtype)
-    gxy = cg.pixel_to_grid(probe, jnp.asarray(px, dtype))
 
-    def residual_fn(grid):
-        vals = jax.vmap(lambda p: bspline.eval_surface(grid, p[0], p[1]))(gxy)
-        return (vals - target).reshape(-1)
+    # CPU-pinned for the same reason as fit_central_generic_to_dense:
+    # the gather-heavy sample residual makes the LM while_loop a
+    # minutes-long single program on the TPU runtime
+    with _host_device_ctx():
+        target = jnp.asarray(line_anchors[vy[sel], vx[sel]], dtype)
+        gxy = cg.pixel_to_grid(probe, jnp.asarray(px, dtype))
 
-    def retract_fn(grid, tangent):
-        return grid + tangent
+        def residual_fn(grid):
+            vals = jax.vmap(
+                lambda p: bspline.eval_surface(grid, p[0], p[1])
+            )(gxy)
+            return (vals - target).reshape(-1)
 
-    result = lm_solve(
-        residual_fn,
-        retract_fn,
-        jnp.asarray(point0, dtype),
-        jnp.zeros((gh, gw, 3), dtype),
-        max_iterations=max_iterations,
-        cg_iterations=cg_iterations,
-    )
+        def retract_fn(grid, tangent):
+            return grid + tangent
+
+        result = lm_solve(
+            residual_fn,
+            retract_fn,
+            jnp.asarray(point0, dtype),
+            jnp.zeros((gh, gw, 3), dtype),
+            max_iterations=max_iterations,
+            cg_iterations=cg_iterations,
+        )
+        point_np = np.asarray(result.state)
     return ncg.NoncentralGenericModel(
         direction_grid=central.grid,
-        point_grid=result.state,
+        point_grid=jnp.asarray(point_np, dtype),
         width=int(width), height=int(height),
         calibration_min_x=0, calibration_min_y=0,
         calibration_max_x=int(width) - 1,
