@@ -251,7 +251,7 @@ class float64_cpu_scope:
 
         self._prev_x64 = bool(jax.config.jax_enable_x64)
         self._prev_dev = jax.config.jax_default_device
-        cpu = jax.devices("cpu")[0]
+        cpu = jax.local_devices(backend="cpu")[0]
         jax.config.update("jax_enable_x64", True)
         jax.config.update("jax_default_device", cpu)
         return cpu
@@ -287,7 +287,7 @@ def polish_float64(state, data, options: CalibrateOptions,
     import jax
 
     try:
-        cpu = jax.devices("cpu")[0]
+        cpu = jax.local_devices(backend="cpu")[0]
     except RuntimeError:
         log("[calibrate] no CPU backend available; skipping f64 polish")
         return state, data, None

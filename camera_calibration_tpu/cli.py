@@ -593,9 +593,15 @@ def cmd_stereo_depth(args):
         mask, result_l["inv_depth"], min_size=args.min_component_size
     )
     pms.export_point_cloud(args.output, result_l, mask=mask, colors=img_l)
+    # companion MeshLab project referencing the exported cloud
+    # (reference: libvis/external_io/meshlab_project.h)
+    from camera_calibration_tpu.io.meshlab import export_stereo_project
+
+    mlp_path = os.path.splitext(args.output)[0] + ".mlp"
+    export_stereo_project(mlp_path, [args.output])
     print(
         f"wrote {args.output}: {int(mask.sum())} points "
-        f"({100.0 * mask.mean():.1f}% consistent)"
+        f"({100.0 * mask.mean():.1f}% consistent); project {mlp_path}"
     )
     return 0
 

@@ -199,14 +199,19 @@ def ransac_p3p(
 
 
 def _host_device_ctx():
-    """CPU default-device context (no-op when no CPU backend exists)."""
+    """CPU default-device context (no-op when no CPU backend exists).
+
+    Uses a LOCAL device: under jax.distributed, jax.devices("cpu")[0] is
+    the globally-first device, which on non-zero processes is another
+    host's — pinning it hangs every computation at materialization.
+    """
     import contextlib
 
     import jax
 
     try:
-        return jax.default_device(jax.devices("cpu")[0])
-    except RuntimeError:
+        return jax.default_device(jax.local_devices(backend="cpu")[0])
+    except (RuntimeError, IndexError):
         return contextlib.nullcontext()
 
 

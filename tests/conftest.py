@@ -9,6 +9,14 @@ dtype-polymorphic and runs float32 on real TPUs.
 
 import os
 
+# Suite-private persistent compilation cache: the default user cache is
+# shared with TPU-attached CLI processes, whose XLA:CPU AOT entries carry
+# different target-machine features (observed "+prefer-no-gather ... not
+# supported on the host machine" loads).  A CPU-only dir keeps the cache
+# benefit (repeat suite runs skip recompiles) without cross-backend
+# entries.  Must be set before the package import below reads it.
+os.environ.setdefault("CCTPU_JAX_CACHE", "/tmp/cct_jax_cache_cpu_suite")
+
 import jax
 
 # The environment's sitecustomize registers the TPU ('axon') platform at

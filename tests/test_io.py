@@ -191,3 +191,40 @@ def test_load_datasets_merges_files(tmp_path):
     # single path still works
     one = dataset_bin.load_datasets(str(pa))
     assert len(one.imagesets) == 1
+
+
+def test_meshlab_project_round_trip(tmp_path):
+    """MeshLab .mlp write/read (reference:
+    libvis/external_io/meshlab_project.h:43-76)."""
+    import numpy as np
+
+    from camera_calibration_tpu.io import meshlab
+
+    rng = np.random.default_rng(3)
+    mat = np.eye(4)
+    mat[:3, :3] = np.linalg.qr(rng.normal(size=(3, 3)))[0]
+    mat[:3, 3] = [0.1, -0.2, 0.3]
+    meshes = [
+        meshlab.MeshLabMeshInfo("cloud_a", "a.obj", np.eye(4)),
+        meshlab.MeshLabMeshInfo("cloud_b", "sub/b.ply", mat),
+    ]
+    p = tmp_path / "project.mlp"
+    meshlab.write_meshlab_project(p, meshes)
+    text = p.read_text()
+    assert text.startswith("<!DOCTYPE MeshLabDocument>")
+    back = meshlab.read_meshlab_project(p)
+    assert [m.label for m in back] == ["cloud_a", "cloud_b"]
+    assert back[1].filename == "sub/b.ply"
+    np.testing.assert_allclose(back[1].global_tr_mesh, mat, atol=1e-12)
+
+    # convenience exporter: relative filenames + pose transform
+    cloud = tmp_path / "clouds" / "scene.obj"
+    cloud.parent.mkdir()
+    cloud.write_text("v 0 0 0\n")
+    meshlab.export_stereo_project(
+        tmp_path / "scene.mlp", [str(cloud)],
+        poses=[(mat[:3, :3], mat[:3, 3])],
+    )
+    back = meshlab.read_meshlab_project(tmp_path / "scene.mlp")
+    assert back[0].filename == "clouds/scene.obj"
+    np.testing.assert_allclose(back[0].global_tr_mesh[:3, :3], mat[:3, :3])

@@ -37,6 +37,16 @@ dist.initialize(coordinator_address=coord, num_processes=2,
 assert jax.process_count() == 2, jax.process_count()
 assert len(jax.devices()) == 8, len(jax.devices())
 
+# Establish the cross-process Gloo context IMMEDIATELY with a trivial
+# collective: everything after this point (problem construction, the
+# LM-step compile) takes worker-dependent minutes, and the Gloo
+# context-init rendezvous only waits 30 s — the faster worker would
+# time out waiting for the slower one.
+from jax.experimental import multihost_utils
+print("STAGE init-done", flush=True)
+multihost_utils.sync_global_devices("gloo-warmup")
+print("STAGE warmup-done", flush=True)
+
 import jax.numpy as jnp
 sys.path.insert(0, os.getcwd())  # tests/ (subprocess cwd)
 import ba_harness
@@ -66,7 +76,18 @@ lam_sh = dist.replicate_multihost(jnp.asarray(-1.0, jnp.float64), mesh)
 
 options = lm_pcg.BAOptions(max_pcg_iterations=25)
 step = lm_pcg.make_lm_step(options)
-out = step(state_sh, warm_sh, lam_sh, data_sh)
+# AOT-compile, then rendezvous at the coordination-service barrier (NOT
+# a device collective: Gloo ops only wait ~30 s) before executing: the
+# LM-step compile takes minutes with worker-dependent skew on a shared
+# box, and the worker that finishes first would otherwise time out in
+# the execution collectives / shutdown barrier waiting for the other.
+print("STAGE problem-built", flush=True)
+compiled = step.lower(state_sh, warm_sh, lam_sh, data_sh).compile()
+print("STAGE compiled", flush=True)
+from jax._src import distributed as _dj
+_dj.global_state.client.wait_at_barrier("lm_compiled", timeout_in_ms=900_000)
+print("STAGE barrier-done", flush=True)
+out = compiled(state_sh, warm_sh, lam_sh, data_sh)
 cost = float(out[4])
 new_cost = float(out[5])
 print("RESULT " + json.dumps({"pid": proc_id, "cost": cost,
@@ -90,6 +111,11 @@ def test_two_process_cpu_mesh(tmp_path):
     coord = f"127.0.0.1:{port}"
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
+    # no shared persistent compilation cache across the distributed
+    # workers: a cache hit in one worker and a feature-mismatch reload
+    # in the other skews their arrival at the first collective past the
+    # 30 s Gloo rendezvous timeout
+    env["CCTPU_JAX_CACHE"] = "0"
     # the workers import the package regardless of the pytest cwd
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env["PYTHONPATH"] = os.pathsep.join(
@@ -108,6 +134,10 @@ def test_two_process_cpu_mesh(tmp_path):
     for p in procs:
         out, _ = p.communicate(timeout=560)
         outs.append(out)
+    if any(p.returncode != 0 for p in procs):
+        for i, (p, out) in enumerate(zip(procs, outs)):
+            print(f"===== worker {i} rc={p.returncode} =====")
+            print(out[-3000:])
     for p, out in zip(procs, outs):
         assert p.returncode == 0, out[-3000:]
     results = {}

@@ -96,6 +96,10 @@ def test_pallas_kernels_match_xla_on_tpu(tmp_path):
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
+    # the chip process uses the default user cache, not the suite's
+    # CPU-only cache dir (cross-backend entries carry mismatched
+    # target-machine features)
+    env.pop("CCTPU_JAX_CACHE", None)
     env["CCT_REPO_ROOT"] = repo_root
     env["PYTHONPATH"] = os.pathsep.join(
         [repo_root] + ([env["PYTHONPATH"]] if env.get("PYTHONPATH") else [])
