@@ -148,22 +148,23 @@ def fit_central_generic_to_dense(
     target_np = dense_dirs[vy[sel], vx[sel]]
     target_np /= np.linalg.norm(target_np, axis=-1, keepdims=True)
 
-    # The whole refinement runs pinned to the CPU backend: its residual
-    # is a vmapped per-sample window GATHER, which executes orders of
-    # magnitude below TPU speed-of-light (gathers serialize per row) —
-    # the ~40k-sample LM while_loop became a minutes-long single device
-    # program that the remote TPU runtime kills (worker crash).  Model
-    # fitting is initialization-scale work; the BA hot path has its own
-    # MXU-shaped spline evaluation.
+    # The refinement runs pinned to the CPU backend: it is
+    # initialization-scale work, and as a single long device program the
+    # remote TPU runtime killed it (worker crash).  The residual uses
+    # the DENSE weight-row contraction (sample weights are constants of
+    # the fixed sample coords, precomputed once): per-sample window
+    # gathers execute orders of magnitude below vector speed on both
+    # backends.
     with _host_device_ctx():
         model = replace(model, grid=jnp.asarray(grid0, dtype))
         gxy = cg.pixel_to_grid(model, jnp.asarray(px, dtype))
         target = jnp.asarray(target_np, dtype)
+        wx = bspline.dense_axis_weights(gxy[:, 0], gw)  # (N, gw)
+        wy = bspline.dense_axis_weights(gxy[:, 1], gh)  # (N, gh)
 
         def residual_fn(grid):
-            dirs = jax.vmap(
-                lambda p: bspline.eval_surface(grid, p[0], p[1])
-            )(gxy)
+            rows = jnp.einsum("nh,hwc->nwc", wy, grid)
+            dirs = jnp.einsum("nw,nwc->nc", wx, rows)
             dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
             return (dirs - target).reshape(-1)
 
@@ -292,17 +293,17 @@ def fit_noncentral_to_lines(
     sel = np.arange(0, vy.size, stride)
     px = np.stack([vx[sel] + 0.5, vy[sel] + 0.5], -1).astype(np.float64)
 
-    # CPU-pinned for the same reason as fit_central_generic_to_dense:
-    # the gather-heavy sample residual makes the LM while_loop a
-    # minutes-long single program on the TPU runtime
+    # CPU-pinned + dense weight-row residual, same design as
+    # fit_central_generic_to_dense above
     with _host_device_ctx():
         target = jnp.asarray(line_anchors[vy[sel], vx[sel]], dtype)
         gxy = cg.pixel_to_grid(probe, jnp.asarray(px, dtype))
+        wx = bspline.dense_axis_weights(gxy[:, 0], gw)
+        wy = bspline.dense_axis_weights(gxy[:, 1], gh)
 
         def residual_fn(grid):
-            vals = jax.vmap(
-                lambda p: bspline.eval_surface(grid, p[0], p[1])
-            )(gxy)
+            rows = jnp.einsum("nh,hwc->nwc", wy, grid)
+            vals = jnp.einsum("nw,nwc->nc", wx, rows)
             return (vals - target).reshape(-1)
 
         def retract_fn(grid, tangent):
