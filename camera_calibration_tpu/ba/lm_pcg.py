@@ -45,6 +45,7 @@ from camera_calibration_tpu.ba import residuals as res
 from camera_calibration_tpu.ba.state import (
     BAState,
     BATangent,
+    apply_freeze,
     fix_gauge_mask,
     retract,
     zero_tangent,
@@ -1085,7 +1086,7 @@ def lm_step(state, warm_xy, lam, data, options: BAOptions, blocks=None,
             data, blocks, state, grad, block_diag, lam, mask, options,
             x0=x0,
         )
-    test_state = retract(state, delta)
+    test_state = apply_freeze(state, retract(state, delta), options.freeze)
     test_blocks, warm2 = compute_blocks(data, test_state, warm_xy, options)
 
     old_sum = jnp.asarray(0.0, state.points.dtype)
@@ -1171,7 +1172,7 @@ def _lm_step_two_pass(state, warm_xy, lam, data, options: BAOptions):
         delta, pcg_iters = pcg_solve(
             data, blocks, state, grad, block_diag, lam, mask, options
         )
-    test_state = retract(state, delta)
+    test_state = apply_freeze(state, retract(state, delta), options.freeze)
     test_costs, test_valids, warm2 = total_cost(data, test_state, warm1, options)
 
     old_sum = jnp.asarray(0.0, state.points.dtype)

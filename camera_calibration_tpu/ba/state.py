@@ -126,6 +126,34 @@ def fix_gauge_mask(state: BAState, freeze=()) -> BATangent:
     )
 
 
+def apply_freeze(state_old: BAState, state_new: BAState, freeze=()) -> BAState:
+    """Restore frozen variable groups EXACTLY from the pre-step state.
+
+    Masking the tangent zeroes the update, but retract() still re-runs
+    the manifold normalizations (quaternion/unit-direction), whose
+    rounding can perturb frozen values by an ulp — the reference's
+    FixVariable keeps fixed variables bit-identical (lm_optimizer.h:360),
+    and so must --localize_only-style freezing here.
+    """
+    freeze = set(freeze)
+    if not freeze:
+        return state_new
+    return BAState(
+        rig_q_global=(state_old.rig_q_global if "poses" in freeze
+                      else state_new.rig_q_global),
+        rig_t_global=(state_old.rig_t_global if "poses" in freeze
+                      else state_new.rig_t_global),
+        cam_q_rig=(state_old.cam_q_rig if "extrinsics" in freeze
+                   else state_new.cam_q_rig),
+        cam_t_rig=(state_old.cam_t_rig if "extrinsics" in freeze
+                   else state_new.cam_t_rig),
+        points=(state_old.points if "points" in freeze
+                else state_new.points),
+        intrinsics=(state_old.intrinsics if "intrinsics" in freeze
+                    else state_new.intrinsics),
+    )
+
+
 def broadcast_rows(arr, idx, grid_shape, axis):
     """arr[idx] — or, in (M, P) grid layout, the equivalent broadcast.
 

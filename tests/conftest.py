@@ -9,13 +9,14 @@ dtype-polymorphic and runs float32 on real TPUs.
 
 import os
 
-# Suite-private persistent compilation cache: the default user cache is
-# shared with TPU-attached CLI processes, whose XLA:CPU AOT entries carry
-# different target-machine features (observed "+prefer-no-gather ... not
-# supported on the host machine" loads).  A CPU-only dir keeps the cache
-# benefit (repeat suite runs skip recompiles) without cross-backend
-# entries.  Must be set before the package import below reads it.
-os.environ.setdefault("CCTPU_JAX_CACHE", "/tmp/cct_jax_cache_cpu_suite")
+# NO persistent compilation cache for the suite: in this environment the
+# accelerator plugin taints XLA:CPU compile target features (observed
+# "+prefer-no-gather ... not supported on the host machine" when
+# reloading entries written by sibling processes), and cache-loaded
+# executables measurably differ numerically from freshly compiled ones —
+# bitwise-equality tests (frozen-group checks, cross-process cost
+# comparisons) then fail.  Must be set before the package import reads it.
+os.environ["CCTPU_JAX_CACHE"] = "0"
 
 import jax
 
