@@ -70,7 +70,10 @@ class BAOptions:
     #                 system — the reference's SchurMode::Dense
     #                 (lm_optimizer.h:1246-1369); memory ∝ reduced dim²;
     #   "schur_direct_points" same with block=3 point elimination;
-    #   "pcg"         PCG on the full system (no elimination).
+    #   "pcg"         PCG on the full system (no elimination);
+    #   "auto"        resolved by optimize() from the problem size:
+    #                 schur_direct while the reduced dim fits in memory
+    #                 (the reference's Dense default), schur beyond.
     solver: str = "schur"
     # Inexact-Newton forcing: stop CG when the residual drops below this
     # fraction of ||b||. LM test steps don't need exact solves; the
@@ -1039,6 +1042,11 @@ def lm_step(state, warm_xy, lam, data, options: BAOptions, blocks=None,
     (lm_optimizer.h:802-965); this restructuring is the TPU win of
     keeping the whole cache device-resident.
     """
+    if options.solver == "auto":
+        raise ValueError(
+            "solver='auto' must be resolved before the jitted step — call "
+            "optimize(), or resolve_solver(options, state) first"
+        )
     if blocks is None:
         return _lm_step_two_pass(state, warm_xy, lam, data, options)
     x0 = prev_delta if options.cg_warm_start else None
@@ -1283,6 +1291,40 @@ def maybe_grid_layout(data, state: BAState, options: BAOptions):
     return tuple(out)
 
 
+def resolve_solver(options: BAOptions, state: BAState,
+                   direct_max_reduced_dim: int = 2048) -> BAOptions:
+    """Resolve solver="auto" to a concrete mode from the problem size.
+
+    The reference's default SchurMode is Dense — eliminate the pose
+    blocks and solve the reduced system directly (Readme.md:330-352,
+    joint_optimization.cc:794-814) — because on small/medium problems
+    the exact Newton step beats capped inexact CG by a wide margin in
+    time-to-convergence (measured: the round-3 noncentral plateau needed
+    140 capped-CG iterations vs 30 direct ones).  Memory for the reduced
+    system grows as dim², so past ``direct_max_reduced_dim`` (32 MB f64
+    at 2048) auto picks the Schur-PCG mode that scales.
+    """
+    if options.solver != "auto":
+        return options
+    n_intr = sum(
+        int(np.prod(np.asarray(
+            protocol_intrinsics_tangent_shape(m)
+        )))
+        for m in state.intrinsics
+    )
+    reduced = (
+        state.points.shape[0] * 3 + state.cam_q_rig.shape[0] * 6 + n_intr
+    )
+    mode = "schur_direct" if reduced <= direct_max_reduced_dim else "schur"
+    return dataclasses.replace(options, solver=mode)
+
+
+def protocol_intrinsics_tangent_shape(model):
+    from camera_calibration_tpu.models import protocol
+
+    return protocol.intrinsics_tangent_zero(model).shape
+
+
 def optimize(
     state: BAState,
     obs,
@@ -1303,6 +1345,7 @@ def optimize(
     import contextlib
     import time
 
+    options = resolve_solver(options, state)
     if data is None:
         data = split_by_camera(obs, segments)
         data = maybe_grid_layout(data, state, options)

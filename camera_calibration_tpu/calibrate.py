@@ -64,7 +64,7 @@ class CalibrateOptions:
     # modes; "schur_direct" (exact reduced Newton step) wins
     # time-to-convergence on small/medium problems, the Schur-PCG
     # default wins at scale.
-    solver: str = "schur"
+    solver: str = "auto"
     # Memory-bounded streaming: evaluate residual/Jacobian blocks in
     # lax.map chunks of this many observations — the analog of the
     # reference's on-the-fly SchurModes (lm_optimizer.h:297-307).

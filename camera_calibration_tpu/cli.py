@@ -1289,8 +1289,8 @@ def main(argv=None):
              "(mixed dtype only; reference runs 10)",
     )
     p.add_argument(
-        "--solver", default="schur",
-        choices=["schur", "schur_poses", "schur_direct",
+        "--solver", default="auto",
+        choices=["auto", "schur", "schur_poses", "schur_direct",
                  "schur_direct_points", "pcg"],
         help="BA solver mode (the reference's --schur_mode family, "
              "Readme.md:330-352): schur/schur_poses = point/pose "

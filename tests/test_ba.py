@@ -275,7 +275,10 @@ def test_block_chunk_streaming_matches():
     out_b = lm_pcg.make_lm_step(
         lm_pcg.BAOptions(max_pcg_iterations=30, block_chunk=256)
     )(state0, warm, lam, data)
-    assert float(out_a[4]) == float(out_b[4])  # identical cost
+    # ulp-level: chunked evaluation computes identical per-observation
+    # values, but XLA may reassociate the final reductions differently
+    # inside lax.map vs the fused program
+    np.testing.assert_allclose(float(out_a[4]), float(out_b[4]), rtol=1e-14)
     np.testing.assert_allclose(
         np.asarray(out_a[0].points), np.asarray(out_b[0].points), atol=1e-12
     )
