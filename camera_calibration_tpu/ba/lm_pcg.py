@@ -1345,6 +1345,7 @@ def optimize(
     import contextlib
     import time
 
+    was_auto = options.solver == "auto"
     options = resolve_solver(options, state)
     if data is None:
         data = split_by_camera(obs, segments)
@@ -1362,6 +1363,12 @@ def optimize(
 
         if all(_unsharded(seg) for seg in data):
             data = maybe_grid_layout(data, state, options)
+    if (was_auto and options.solver.startswith("schur_direct")
+            and not all(seg.grid_shape is not None for seg in data)):
+        # auto picked the direct solver, but the tables could not be laid
+        # out in grid form (table_layout="flat", or caller-sharded data)
+        # — fall back to the iterative mode rather than erroring
+        options = dataclasses.replace(options, solver="schur")
     if options.debug_verify:
         verify_cost(state, data, options)
     k = max(1, int(options.lm_steps_per_call))

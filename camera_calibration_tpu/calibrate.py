@@ -249,18 +249,27 @@ class float64_cpu_scope:
     def __enter__(self):
         import jax
 
+        self._active = False
+        try:
+            cpu = jax.local_devices(backend="cpu")[0]
+        except (RuntimeError, IndexError):
+            # no CPU backend (e.g. JAX_PLATFORMS=tpu): the f64 polish is
+            # skipped in this configuration, so the scope degrades to a
+            # no-op instead of crashing post-calibration save/report
+            return None
         self._prev_x64 = bool(jax.config.jax_enable_x64)
         self._prev_dev = jax.config.jax_default_device
-        cpu = jax.local_devices(backend="cpu")[0]
         jax.config.update("jax_enable_x64", True)
         jax.config.update("jax_default_device", cpu)
+        self._active = True
         return cpu
 
     def __exit__(self, *exc):
         import jax
 
-        jax.config.update("jax_enable_x64", self._prev_x64)
-        jax.config.update("jax_default_device", self._prev_dev)
+        if self._active:
+            jax.config.update("jax_enable_x64", self._prev_x64)
+            jax.config.update("jax_default_device", self._prev_dev)
         return False
 
 

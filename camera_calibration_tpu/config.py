@@ -54,6 +54,24 @@ def configure_compilation_cache() -> None:
         pass
 
 
+def host_device_ctx():
+    """Context manager pinning the default device to a LOCAL CPU device.
+
+    Host-orchestration solves (P3P polish, RS bootstrap, model fits) use
+    this so tiny/long-running programs never round-trip a remote
+    accelerator.  No-op when no CPU backend exists.  Always a LOCAL
+    device: under jax.distributed, ``jax.devices("cpu")[0]`` is the
+    globally-first device, which on non-zero processes belongs to
+    another host and hangs every pinned computation.
+    """
+    import contextlib
+
+    try:
+        return jax.default_device(jax.local_devices(backend="cpu")[0])
+    except (RuntimeError, IndexError):
+        return contextlib.nullcontext()
+
+
 def effective_backend() -> str:
     """Platform that uncommitted computations actually run on.
 

@@ -788,25 +788,6 @@ class FeatureDetector:
 
     # ------------------------------ validation ------------------------------
 
-    def _opposite_ok(self, pos_c, pos_mid, pos_far):
-        """Collinearity of (feature, neighbor, neighbor's neighbor) along
-        one lattice direction: the two vectors leaving the MIDDLE feature
-        must have similar length (ratio ≤ 1.5) and be nearly antiparallel
-        (within 5°) — reference CheckOppositeAngleAndLengthCriterion
-        (feature_detector_tagged_pattern.cc:100-135)."""
-        opts = self.opts
-        v1 = pos_c - pos_mid
-        v2 = pos_far - pos_mid
-        l1, l2 = np.linalg.norm(v1), np.linalg.norm(v2)
-        if min(l1, l2) <= 1e-9:
-            return False
-        if max(l1, l2) / min(l1, l2) > opts.collinearity_length_ratio:
-            return False
-        cosang = float(np.dot(v1, v2)) / (l1 * l2)
-        return cosang <= np.cos(
-            np.radians(180.0 - opts.collinearity_max_angle_deg)
-        )
-
     def _validate(self, dets, image_size):
         """Outlier + geometric validation of one pattern's detections.
 

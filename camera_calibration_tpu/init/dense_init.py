@@ -49,7 +49,7 @@ def _rs_central_planar_jit():
     the CPU backend (tiny SVD systems; host-orchestration phase)."""
     import jax
 
-    from camera_calibration_tpu.init.p3p import _host_device_ctx
+    from camera_calibration_tpu.config import host_device_ctx as _host_device_ctx
 
     jitted = jax.jit(central_planar_relative_pose)
 
@@ -617,10 +617,27 @@ class DenseInitializer:
             # Per-pixel direction accumulation stays valid: directions
             # are camera-frame, and each disconnected component's image
             # and sheet poses are mutually consistent.
-            unlocalized = [
-                gi for gi, p in enumerate(self.global_tr_known_geometry)
-                if p is None
+            # Gate beyond the reference: only pose a sheet some
+            # still-unlocalized image actually observes — an identity
+            # pose for an unobservable sheet gains nothing and injects
+            # an arbitrary frame that later mixed-sheet P3P
+            # correspondences would average against.
+            remaining = [
+                si for si, u in enumerate(self.image_used) if not u
             ]
+            unlocalized = []
+            for gi, p in enumerate(self.global_tr_known_geometry):
+                if p is not None:
+                    continue
+                geometry = self.dataset.known_geometries[gi]
+                for si in remaining:
+                    feats = self.dataset.imagesets[si].features[self.ci]
+                    if any(
+                        f.feature_id in geometry.feature_id_to_position
+                        for f in feats
+                    ):
+                        unlocalized.append(gi)
+                        break
             if not unlocalized:
                 break
             self.global_tr_known_geometry[unlocalized[0]] = (

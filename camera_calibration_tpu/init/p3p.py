@@ -199,20 +199,9 @@ def ransac_p3p(
 
 
 def _host_device_ctx():
-    """CPU default-device context (no-op when no CPU backend exists).
+    from camera_calibration_tpu.config import host_device_ctx
 
-    Uses a LOCAL device: under jax.distributed, jax.devices("cpu")[0] is
-    the globally-first device, which on non-zero processes is another
-    host's — pinning it hangs every computation at materialization.
-    """
-    import contextlib
-
-    import jax
-
-    try:
-        return jax.default_device(jax.local_devices(backend="cpu")[0])
-    except (RuntimeError, IndexError):
-        return contextlib.nullcontext()
+    return host_device_ctx()
 
 
 import functools

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from camera_calibration_tpu.ba.gn import lm_solve
-from camera_calibration_tpu.init.p3p import _host_device_ctx
+from camera_calibration_tpu.config import host_device_ctx as _host_device_ctx
 from camera_calibration_tpu.models import central_generic as cg
 from camera_calibration_tpu.models.base import replace
 from camera_calibration_tpu.ops import bspline, manifolds
@@ -163,8 +163,7 @@ def fit_central_generic_to_dense(
         wy = bspline.dense_axis_weights(gxy[:, 1], gh)  # (N, gh)
 
         def residual_fn(grid):
-            rows = jnp.einsum("nh,hwc->nwc", wy, grid)
-            dirs = jnp.einsum("nw,nwc->nc", wx, rows)
+            dirs = bspline.eval_surface_dense_rows(grid, wx, wy)
             dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
             return (dirs - target).reshape(-1)
 
@@ -302,8 +301,7 @@ def fit_noncentral_to_lines(
         wy = bspline.dense_axis_weights(gxy[:, 1], gh)
 
         def residual_fn(grid):
-            rows = jnp.einsum("nh,hwc->nwc", wy, grid)
-            vals = jnp.einsum("nw,nwc->nc", wx, rows)
+            vals = bspline.eval_surface_dense_rows(grid, wx, wy)
             return (vals - target).reshape(-1)
 
         def retract_fn(grid, tangent):

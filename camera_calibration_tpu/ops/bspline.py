@@ -134,6 +134,17 @@ def dense_axis_weights(g, size, derivative=False):
     return jnp.einsum("nks,nk->ns", onehot, w4)
 
 
+def eval_surface_dense_rows(grid, wx, wy):
+    """Dense surface eval from PRECOMPUTED per-axis weight rows.
+
+    grid: (H, W, C); wx: (N, W); wy: (N, H) -> (N, C).  Callers with
+    fixed sample coordinates precompute wx/wy once and reuse them across
+    solver iterations (models/fit.py).
+    """
+    rows = jnp.einsum("nh,hwc->nwc", wy, grid)
+    return jnp.einsum("nw,nwc->nc", wx, rows)
+
+
 def eval_surface_dense(grid, gxy):
     """Batched surface eval via dense weight contraction.
 
@@ -142,8 +153,7 @@ def eval_surface_dense(grid, gxy):
     h, w = grid.shape[:2]
     wx = dense_axis_weights(gxy[:, 0], w)
     wy = dense_axis_weights(gxy[:, 1], h)
-    rows = jnp.einsum("nh,hwc->nwc", wy, grid)
-    return jnp.einsum("nw,nwc->nc", wx, rows)
+    return eval_surface_dense_rows(grid, wx, wy)
 
 
 def eval_surface_dense_with_jac(grid, gxy):
