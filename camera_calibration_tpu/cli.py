@@ -418,6 +418,25 @@ def cmd_record(args):
     )
     consumer = LiveImageConsumer(dataset, det, options,
                                  record_directories=record_dirs)
+
+    # optional fullscreen on-screen pattern for screen-based calibration
+    # (the reference's PatternDisplay, ui/pattern_display.cc); runs on a
+    # daemon thread so the HighGUI loop and the capture loop coexist
+    display_thread = None
+    if getattr(args, "show_pattern", False):
+        from camera_calibration_tpu.ui.pattern_display import PatternDisplay
+
+        if not PatternDisplay.available():
+            print("[record] --show_pattern: no display available; skipping")
+        else:
+            import threading
+
+            disp = PatternDisplay(patterns[0])
+            display_thread = threading.Thread(
+                target=disp.run, kwargs={"on_capture": None}, daemon=True
+            )
+            display_thread.start()
+
     with image_input:
         kept = run_live_capture(image_input, consumer)
 
@@ -1358,6 +1377,11 @@ def main(argv=None):
     p.add_argument("--capture_interval", type=float, default=0.0,
                    help="minimum seconds between processed imagesets")
     p.add_argument("--max_imagesets", type=int, default=None)
+    p.add_argument("--show_pattern", action="store_true",
+                   help="show the pattern fullscreen on the local display "
+                        "for screen-based calibration (reference "
+                        "ui/pattern_display.cc); skipped when no display "
+                        "is available")
     p.set_defaults(func=cmd_record)
 
     p = sub.add_parser("report", help="report for a saved state")

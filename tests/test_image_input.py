@@ -243,3 +243,26 @@ def test_calibrate_with_visualizer(tmp_path):
         "observation_directions_camera0",
     ):
         assert os.path.exists(tmp_path / f"{name}.png"), name
+
+
+def test_pattern_display_render_geometry():
+    """PatternDisplay renders the whole pattern centered on the screen
+    (reference ui/pattern_display.cc); the interactive window itself is
+    display-dependent, but the rendered image and availability probe are
+    not."""
+    from camera_calibration_tpu.features import pattern as pat
+    from camera_calibration_tpu.ui.pattern_display import PatternDisplay
+
+    spec = pat.PatternSpec(
+        num_star_segments=16, squares_x=8, squares_y=8,
+        square_length_in_meters=0.02,
+        tags=[pat.AprilTagInfo(x=3, y=3, width=2, height=2, index=0)],
+    )
+    disp = PatternDisplay(spec, screen_size=(640, 480), supersample=2)
+    img = disp.image
+    assert img.shape == (480, 640)
+    # pattern drawn: both black and white regions present, margins white
+    assert img.min() < 0.2 and img.max() > 0.8
+    assert img[:4].mean() > 0.95 and img[-4:].mean() > 0.95
+    # availability probe must not raise in a headless environment
+    assert isinstance(PatternDisplay.available(), bool)
