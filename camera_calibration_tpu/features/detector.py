@@ -645,25 +645,49 @@ class FeatureDetector:
         # stays well inside the refinement window (the refinement is a
         # local solve; a wrong speculative start either converges to the
         # true corner or fails its convergence/validation checks). ---
-        for _ in range(self.opts.max_rounds):
-            per_pattern = {pi: [] for pi in range(len(self.patterns))}
-            any_ring = False
-            for bi in range(n_img):
-                for pi, spec in enumerate(self.patterns):
-                    rings = self._speculative_rings(
-                        all_dets[bi][pi], spec, w_img, h_img,
-                        pools[bi][pi],
-                    )
+        ring_pool = ThreadPoolExecutor(min(4, n_img)) if n_img > 1 else None
+        try:
+            for _ in range(self.opts.max_rounds):
+                per_pattern = {pi: [] for pi in range(len(self.patterns))}
+                any_ring = False
+                tasks = [
+                    (bi, pi, spec)
+                    for bi in range(n_img)
+                    for pi, spec in enumerate(self.patterns)
+                ]
+                if ring_pool is not None:
+                    # per-image ring building is independent host work
+                    # (board-space pools + batched NumPy DLTs release the
+                    # GIL); serial it was ~40% of batch wall time
+                    ring_results = list(ring_pool.map(
+                        lambda t: self._speculative_rings(
+                            all_dets[t[0]][t[1]], t[2], w_img, h_img,
+                            pools[t[0]][t[1]],
+                        ),
+                        tasks,
+                    ))
+                else:
+                    ring_results = [
+                        self._speculative_rings(
+                            all_dets[bi][pi], spec, w_img, h_img,
+                            pools[bi][pi],
+                        )
+                        for bi, pi, spec in tasks
+                    ]
+                for (bi, pi, _spec), rings in zip(tasks, ring_results):
                     if rings is not None:
                         preds, hl, kept = rings
                         per_pattern[pi].append((bi, kept, preds, hl))
                         any_ring = True
-            if not any_ring:
-                break
-            new_map = self._refine_scatter(per_pattern, images_j, all_dets)
-            if not new_map:
-                break
-            self._update_pools(pools, all_dets, new_map)
+                if not any_ring:
+                    break
+                new_map = self._refine_scatter(per_pattern, images_j, all_dets)
+                if not new_map:
+                    break
+                self._update_pools(pools, all_dets, new_map)
+        finally:
+            if ring_pool is not None:
+                ring_pool.shutdown()
 
         # --- 3/4. validation + flat outputs, per image ---
         results = []
