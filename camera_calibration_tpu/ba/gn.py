@@ -86,6 +86,7 @@ def lm_solve(
     init_lambda_factor: float = 1e-3,
     lambda_min: float = 1e-12,
     weight_fn: Callable[[jnp.ndarray], jnp.ndarray] | None = None,
+    lam0=None,
 ):
     """Minimize 0.5·Σ w(r)·r² over a manifold state.
 
@@ -193,9 +194,10 @@ def lm_solve(
         return (it < max_iterations) & (~done)
 
     cost0 = cost_of(state0)
+    lam_init = jnp.asarray(-1.0 if lam0 is None else lam0, cost0.dtype)
     state, lam, cost, it, _ = jax.lax.while_loop(
         cond,
         one_iteration,
-        (state0, jnp.asarray(-1.0, cost0.dtype), cost0, jnp.int32(0), jnp.asarray(False)),
+        (state0, lam_init, cost0, jnp.int32(0), jnp.asarray(False)),
     )
     return LMResult(state=state, cost=cost, iterations=it, lam=lam)

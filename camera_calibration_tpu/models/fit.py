@@ -24,6 +24,89 @@ from camera_calibration_tpu.models.base import replace
 from camera_calibration_tpu.ops import bspline, manifolds
 
 
+def _fit_device_ctx(dtype):
+    """Device context for the sample-LM refinement: CPU-pinned.
+
+    Measured both ways on the remote-TPU machine: a warm standalone
+    chunked fit runs 1.6 s on the chip vs 12 s on CPU, but through the
+    pipeline each fit is a fresh shape (trace + cache-load per chunk
+    program) and the remote dispatch weather (2-20× session variance)
+    ate the win — the CPU-pinned pipeline measured fastest end to end
+    (172.9 s vs 210+ s).  Revisit if the runtime's dispatch latency
+    stabilizes; _chunked_lm already bounds per-program duration for a
+    future accelerator path.
+    """
+    return _host_device_ctx()
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=64)
+def _fit_chunk_jit(k_tangent: int, normalize: bool, chunk: int,
+                   cg_iterations: int):
+    """Shape-cached jitted LM chunk for the dense-rows fit residual.
+
+    The sample data (wx, wy, target) are ARGUMENTS, not closure
+    constants: closed-over arrays embed into the jaxpr as constants,
+    which keys the compilation cache on their VALUES — every fit in a
+    pipeline then recompiled every chunk on the remote chip (measured:
+    the closure form made the TPU fit slower than the CPU one).
+    """
+
+    @jax.jit
+    def run(grid0, lam0, wx, wy, target):
+        gh, gw = grid0.shape[:2]
+
+        def residual_fn(grid):
+            vals = bspline.eval_surface_dense_rows(grid, wx, wy)
+            if normalize:
+                vals = vals / jnp.linalg.norm(vals, axis=-1, keepdims=True)
+            return (vals - target).reshape(-1)
+
+        def retract_fn(grid, tangent):
+            if normalize:
+                return manifolds.retract_direction(grid, tangent)
+            return grid + tangent
+
+        res = lm_solve(
+            residual_fn, retract_fn, grid0,
+            jnp.zeros((gh, gw, k_tangent), grid0.dtype),
+            max_iterations=chunk, cg_iterations=cg_iterations, lam0=lam0,
+        )
+        return res.state, res.iterations, res.lam
+
+    return run
+
+
+def _chunked_lm(x0, wx, wy, target, *, normalize, k_tangent, max_iterations,
+                cg_iterations, chunk: int = 5):
+    """LM in duration-bounded device dispatches, carrying (state, λ).
+
+    Equivalent to one lm_solve call with max_iterations, but no single
+    device program runs more than ``chunk`` LM iterations — the remote
+    TPU runtime kills programs past ~2 minutes (see RESULTS.md).  On the
+    CPU backend the bound is irrelevant, so one full-length call avoids
+    the extra dispatches.
+    """
+    from camera_calibration_tpu.config import effective_backend
+
+    if effective_backend() == "cpu":
+        chunk = max_iterations
+    lam = jnp.asarray(-1.0, x0.dtype)
+    it_total = 0
+    x = x0
+    while it_total < max_iterations:
+        k = min(chunk, max_iterations - it_total)
+        step = _fit_chunk_jit(k_tangent, normalize, k, cg_iterations)
+        x, it_arr, lam = step(x, lam, wx, wy, target)
+        it = int(it_arr)
+        it_total += it
+        if it < k:  # converged or stalled inside the chunk
+            break
+    return x
+
+
 def _seed_grid_from_dense(dense_dirs, valid, model):
     """Initialize each knot direction from the dense direction image.
 
@@ -148,37 +231,26 @@ def fit_central_generic_to_dense(
     target_np = dense_dirs[vy[sel], vx[sel]]
     target_np /= np.linalg.norm(target_np, axis=-1, keepdims=True)
 
-    # The refinement runs pinned to the CPU backend: it is
-    # initialization-scale work, and as a single long device program the
-    # remote TPU runtime killed it (worker crash).  The residual uses
-    # the DENSE weight-row contraction (sample weights are constants of
-    # the fixed sample coords, precomputed once): per-sample window
-    # gathers execute orders of magnitude below vector speed on both
-    # backends.
-    with _host_device_ctx():
+    # The residual uses the DENSE weight-row contraction (sample weights
+    # are constants of the fixed sample coords, precomputed once):
+    # per-sample window gathers execute orders of magnitude below vector
+    # speed on every backend.  The solve runs CPU-pinned in shape-cached
+    # jitted chunks (_fit_device_ctx/_chunked_lm explain the measured
+    # device trade-offs).
+    with _fit_device_ctx(dtype):
         model = replace(model, grid=jnp.asarray(grid0, dtype))
         gxy = cg.pixel_to_grid(model, jnp.asarray(px, dtype))
         target = jnp.asarray(target_np, dtype)
         wx = bspline.dense_axis_weights(gxy[:, 0], gw)  # (N, gw)
         wy = bspline.dense_axis_weights(gxy[:, 1], gh)  # (N, gh)
 
-        def residual_fn(grid):
-            dirs = bspline.eval_surface_dense_rows(grid, wx, wy)
-            dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
-            return (dirs - target).reshape(-1)
-
-        def retract_fn(grid, tangent):
-            return manifolds.retract_direction(grid, tangent)
-
-        result = lm_solve(
-            residual_fn,
-            retract_fn,
-            model.grid,
-            jnp.zeros((gh, gw, 2), dtype),
+        grid_fit = _chunked_lm(
+            model.grid, wx, wy, target,
+            normalize=True, k_tangent=2,
             max_iterations=max_iterations,
             cg_iterations=cg_iterations,
         )
-        grid_np = np.asarray(result.state)
+        grid_np = np.asarray(grid_fit)
     # return UNCOMMITTED arrays on the default backend so downstream BA
     # is free to run on the accelerator
     return replace(model, grid=jnp.asarray(grid_np, dtype))
@@ -292,30 +364,21 @@ def fit_noncentral_to_lines(
     sel = np.arange(0, vy.size, stride)
     px = np.stack([vx[sel] + 0.5, vy[sel] + 0.5], -1).astype(np.float64)
 
-    # CPU-pinned + dense weight-row residual, same design as
+    # dense weight-row residual + device policy as in
     # fit_central_generic_to_dense above
-    with _host_device_ctx():
+    with _fit_device_ctx(dtype):
         target = jnp.asarray(line_anchors[vy[sel], vx[sel]], dtype)
         gxy = cg.pixel_to_grid(probe, jnp.asarray(px, dtype))
         wx = bspline.dense_axis_weights(gxy[:, 0], gw)
         wy = bspline.dense_axis_weights(gxy[:, 1], gh)
 
-        def residual_fn(grid):
-            vals = bspline.eval_surface_dense_rows(grid, wx, wy)
-            return (vals - target).reshape(-1)
-
-        def retract_fn(grid, tangent):
-            return grid + tangent
-
-        result = lm_solve(
-            residual_fn,
-            retract_fn,
-            jnp.asarray(point0, dtype),
-            jnp.zeros((gh, gw, 3), dtype),
+        point_fit = _chunked_lm(
+            jnp.asarray(point0, dtype), wx, wy, target,
+            normalize=False, k_tangent=3,
             max_iterations=max_iterations,
             cg_iterations=cg_iterations,
         )
-        point_np = np.asarray(result.state)
+        point_np = np.asarray(point_fit)
     return ncg.NoncentralGenericModel(
         direction_grid=central.grid,
         point_grid=jnp.asarray(point_np, dtype),
