@@ -16,6 +16,9 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 import numpy as np
 
 import camera_calibration_tpu  # noqa: F401
+from camera_calibration_tpu import config as _cctpu_config
+
+_cctpu_config.configure_compilation_cache(entry_point=True)
 from camera_calibration_tpu.features import detector as fdet
 from camera_calibration_tpu.features import pattern as pat
 

@@ -39,6 +39,9 @@ img_dir = os.path.join(tmp, "images")
 out_dir = os.path.join(tmp, "out")
 
 from camera_calibration_tpu import cli
+from camera_calibration_tpu import config as _cctpu_config
+
+_cctpu_config.configure_compilation_cache(entry_point=True)
 
 t0 = time.perf_counter()
 rc = cli.main([

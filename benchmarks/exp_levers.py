@@ -18,6 +18,9 @@ import numpy as np
 
 from bench import make_bench_problem
 from camera_calibration_tpu.ba import lm_pcg
+from camera_calibration_tpu import config as _cctpu_config
+
+_cctpu_config.configure_compilation_cache(entry_point=True)
 
 
 def run_config(state, data, label, n_scan=10, n_calls=2, **opt_kw):

@@ -10,6 +10,9 @@ sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parents[1]
 import numpy as np
 import jax, jax.numpy as jnp
 import camera_calibration_tpu  # noqa
+from camera_calibration_tpu import config as _cctpu_config
+
+_cctpu_config.configure_compilation_cache(entry_point=True)
 from camera_calibration_tpu.ba.dataset import ObservationTable
 from camera_calibration_tpu.ba.state import BAState
 from camera_calibration_tpu.ba import lm_pcg

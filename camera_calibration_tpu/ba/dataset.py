@@ -231,6 +231,48 @@ def to_grid_layout(
     )
 
 
+def build_per_camera_tables(
+    dataset: Dataset,
+    feature_id_to_point_index: dict[int, int],
+    *,
+    image_used=None,
+    dtype=jnp.float64,
+) -> tuple:
+    """One ObservationTable per camera from a Dataset.
+
+    ``image_used``: optional per-imageset bool mask; imagesets beyond its
+    length count as used (new images appended after a resume).  Shared by
+    the fresh-calibration state builder and the --state_directory resume
+    path (reference: ba_state.cc ComputeFeatureIdToPointsIndex + the
+    per-camera observation gather in calibration.cc).
+    """
+    tables = []
+    for ci in range(dataset.num_cameras):
+        ims, ptids, pixels = [], [], []
+        for i, s in enumerate(dataset.imagesets):
+            if image_used is not None and i < len(image_used) \
+                    and not image_used[i]:
+                continue
+            for f in s.features[ci]:
+                if f.feature_id in feature_id_to_point_index:
+                    ims.append(i)
+                    ptids.append(feature_id_to_point_index[f.feature_id])
+                    pixels.append(np.asarray(f.xy, np.float64))
+        n = len(ims)
+        tables.append(
+            ObservationTable(
+                imageset=jnp.asarray(np.array(ims, np.int32)),
+                camera=jnp.full(n, ci, jnp.int32),
+                point=jnp.asarray(np.array(ptids, np.int32)),
+                pixel=jnp.asarray(
+                    np.stack(pixels) if n else np.zeros((0, 2)), dtype
+                ),
+                valid=jnp.ones(n, bool),
+            )
+        )
+    return tuple(tables)
+
+
 def build_observation_table(
     dataset: Dataset,
     feature_id_to_point_index: dict[int, int],

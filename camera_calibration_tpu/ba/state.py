@@ -188,13 +188,24 @@ def transform_to_camera(state: BAState, imageset_idx, camera_idx, points,
 
 def scale_state(state: BAState, factor) -> BAState:
     """Scale the metric scale of the reconstruction (reference:
-    ba_state.cc ScaleState): translations and points scale, rotations and
-    intrinsics don't."""
+    ba_state.cc:60-76 ScaleState): translations and points scale, and so
+    do metric intrinsics — a noncentral model's line-origin grid lives in
+    camera-frame meters (NoncentralGenericModel::Scale,
+    noncentral_generic.cc:148-154); direction fields and parametric
+    pixel-space models are scale-invariant."""
+    from camera_calibration_tpu.models import noncentral_generic as ncg
+    from camera_calibration_tpu.models.base import replace as _replace
+
+    new_intr = tuple(
+        _replace(m, point_grid=m.point_grid * factor)
+        if isinstance(m, ncg.NoncentralGenericModel) else m
+        for m in state.intrinsics
+    )
     return BAState(
         rig_q_global=state.rig_q_global,
         rig_t_global=state.rig_t_global * factor,
         cam_q_rig=state.cam_q_rig,
         cam_t_rig=state.cam_t_rig * factor,
         points=state.points * factor,
-        intrinsics=state.intrinsics,
+        intrinsics=new_intr,
     )

@@ -185,35 +185,31 @@ def cmd_calibrate(args):
         if not fid_to_idx:
             fid_to_idx = fid_map_fn(dataset)
         # rebuild per-camera observation tables for the used imagesets
-        import numpy as np_
-        from camera_calibration_tpu.ba.dataset import ObservationTable
+        from camera_calibration_tpu.ba.dataset import build_per_camera_tables
 
-        data = []
-        for ci in range(dataset.num_cameras):
-            ims, ptids, pixels = [], [], []
-            for i, s_ in enumerate(dataset.imagesets):
-                if i < len(used) and not used[i]:
-                    continue
-                for f in s_.features[ci]:
-                    if f.feature_id in fid_to_idx:
-                        ims.append(i)
-                        ptids.append(fid_to_idx[f.feature_id])
-                        pixels.append(np_.asarray(f.xy, np_.float64))
-            data.append(
-                ObservationTable(
-                    imageset=jnp.asarray(np_.array(ims, np_.int32)),
-                    camera=jnp.full(len(ims), ci, jnp.int32),
-                    point=jnp.asarray(np_.array(ptids, np_.int32)),
-                    pixel=jnp.asarray(
-                        np_.stack(pixels) if ims else np_.zeros((0, 2)), dtype
-                    ),
-                    valid=jnp.ones(len(ims), bool),
-                )
-            )
-        data = tuple(data)
+        data = build_per_camera_tables(
+            dataset, fid_to_idx, image_used=used, dtype=dtype
+        )
         print(f"[resume] loaded state from {args.state_directory}")
+        # Resume-time model resampling / type conversion (reference:
+        # ResampleModelsIfNecessary, calibration.cc:571-612, invoked on
+        # resume at :999): when the user EXPLICITLY requests a model
+        # kind, the loaded state is resampled to the coarsest level of
+        # the requested pyramid (and converted across model types if
+        # needed), then the full pyramid runs.  Without an explicit
+        # --model, resume continues at the loaded resolution —
+        # a crash-resume must not restart the pyramid.
+        n_pyramid_resume = 1
+        if args.model is not None and not args.localize_only:
+            state2 = cal.resample_models_if_necessary(
+                state, args.model, args.approx_pixels_per_cell,
+                args.num_pyramid_levels - 1,
+            )
+            if state2 is not state:
+                state = state2
+                n_pyramid_resume = args.num_pyramid_levels
         options = cal.CalibrateOptions(
-            num_pyramid_levels=1,  # resume continues at the loaded resolution
+            num_pyramid_levels=n_pyramid_resume,
             approx_pixels_per_cell=args.approx_pixels_per_cell,
             outlier_removal_factor=args.outlier_removal_factor,
             final_iterations=args.final_iterations,
@@ -251,38 +247,80 @@ def cmd_calibrate(args):
             )
         return 0
 
-    model_kind = args.model
-    # the grid pyramid (coarse-to-fine resampling) applies to the central
-    # generic model only; parametric and noncentral models calibrate at
-    # their final parameterization directly
-    n_pyramid = args.num_pyramid_levels if model_kind == "central_generic" else 1
+    model_kind = args.model or "central_generic"
+    # the grid pyramid (coarse-to-fine resampling) applies to BOTH grid
+    # model families — the reference runs its pyramid for central and
+    # noncentral generic models alike (calibration.cc:1050-1094 with the
+    # NoncentralGeneric resample special case at :383-421); parametric
+    # models calibrate at their final parameterization directly
+    n_pyramid = (
+        args.num_pyramid_levels
+        if model_kind in ("central_generic", "noncentral_generic")
+        else 1
+    )
 
-    results = []
-    for ci in range(dataset.num_cameras):
-        if model_kind == "noncentral_generic":
-            from camera_calibration_tpu.init.noncentral_init import (
-                NoncentralDenseInitializer,
-            )
+    # Dense-initialization disk cache (reference: the
+    # --dense_initialization_base_path save/reload, calibration.cc:948-974)
+    results = None
+    dip = getattr(args, "dense_initialization_base_path", None)
+    if dip:
+        from camera_calibration_tpu.init.dense_init import load_dense_init
 
-            init = NoncentralDenseInitializer(
-                dataset, ci, DenseInitOptions(seed=args.seed)
+        cache_file = dip if str(dip).endswith(".npz") else dip + ".npz"
+        if os.path.exists(cache_file):
+            try:
+                cached = load_dense_init(cache_file)
+            except Exception as e:
+                print(f"[init] could not load cache {cache_file}: {e}")
+                cached = None
+            if cached is not None and (
+                len(cached) != dataset.num_cameras
+                or any(r is not None
+                       and len(r.image_used) != len(dataset.imagesets)
+                       for r in cached)
+            ):
+                print("[init] cache does not match the dataset; recomputing")
+                cached = None
+            if cached is not None:
+                results = cached
+                print(f"[init] loaded dense initialization from {cache_file}")
+
+    if results is None:
+        results = []
+        for ci in range(dataset.num_cameras):
+            if model_kind == "noncentral_generic":
+                from camera_calibration_tpu.init.noncentral_init import (
+                    NoncentralDenseInitializer,
+                )
+
+                init = NoncentralDenseInitializer(
+                    dataset, ci, DenseInitOptions(seed=args.seed)
+                )
+            else:
+                init = DenseInitializer(
+                    dataset, ci, DenseInitOptions(seed=args.seed)
+                )
+            res = init.run()
+            if res is None:
+                print(f"dense initialization failed for camera {ci}")
+                return 1
+            print(
+                f"[init] camera {ci}: {sum(res.image_used)}/"
+                f"{len(dataset.imagesets)} imagesets localized"
             )
-        else:
-            init = DenseInitializer(
-                dataset, ci, DenseInitOptions(seed=args.seed)
-            )
-        res = init.run()
-        if res is None:
-            print(f"dense initialization failed for camera {ci}")
-            return 1
-        print(
-            f"[init] camera {ci}: {sum(res.image_used)}/"
-            f"{len(dataset.imagesets)} imagesets localized"
-        )
-        if visualizer is not None and hasattr(res, "observation_directions"):
-            dirs, valid = res.observation_directions()
-            visualizer.update_initialization(ci, dirs, valid)
-        results.append(res)
+            results.append(res)
+        if dip:
+            from camera_calibration_tpu.init.dense_init import save_dense_init
+
+            save_dense_init(dip, results)
+            out_name = dip if str(dip).endswith(".npz") else dip + ".npz"
+            print(f"[init] saved dense initialization to {out_name}")
+
+    if visualizer is not None:
+        for ci, res in enumerate(results):
+            if hasattr(res, "observation_directions"):
+                dirs, valid = res.observation_directions()
+                visualizer.update_initialization(ci, dirs, valid)
 
     # 3. initial BA state at the coarsest pyramid resolution
     full_res = cal.compute_grid_resolution(
@@ -420,25 +458,42 @@ def cmd_record(args):
                                  record_directories=record_dirs)
 
     # optional fullscreen on-screen pattern for screen-based calibration
-    # (the reference's PatternDisplay, ui/pattern_display.cc); runs on a
-    # daemon thread so the HighGUI loop and the capture loop coexist
-    display_thread = None
+    # (the reference's PatternDisplay, ui/pattern_display.cc).  HighGUI
+    # is main-thread-only on macOS and flaky off-main on some Qt builds,
+    # so the DISPLAY stays on this thread and the capture loop moves to a
+    # worker; a shared Event lets either side end the other (quit key
+    # stops capture, capture exhaustion closes the window).
+    display = None
     if getattr(args, "show_pattern", False):
         from camera_calibration_tpu.ui.pattern_display import PatternDisplay
 
         if not PatternDisplay.available():
             print("[record] --show_pattern: no display available; skipping")
         else:
-            import threading
-
-            disp = PatternDisplay(patterns[0])
-            display_thread = threading.Thread(
-                target=disp.run, kwargs={"on_capture": None}, daemon=True
-            )
-            display_thread.start()
+            display = PatternDisplay(patterns[0])
 
     with image_input:
-        kept = run_live_capture(image_input, consumer)
+        if display is not None:
+            import threading
+
+            stop = threading.Event()
+            result = {"kept": 0}
+
+            def _capture():
+                try:
+                    result["kept"] = run_live_capture(
+                        image_input, consumer, stop_event=stop
+                    )
+                finally:
+                    stop.set()
+
+            worker = threading.Thread(target=_capture, daemon=True)
+            worker.start()
+            display.run(stop_event=stop)
+            worker.join()
+            kept = result["kept"]
+        else:
+            kept = run_live_capture(image_input, consumer)
 
     out = os.path.join(args.output_directory, "dataset.bin")
     dataset_bin.save_dataset(out, dataset)
@@ -1266,7 +1321,184 @@ def cmd_compare(args):
     return 0
 
 
+def cmd_compare_reconstructions(args):
+    """State-vs-state reconstruction comparison (reference:
+    tools/bundle_adjustment.cc:223-396 CompareReconstructions).
+
+    Loads two saved BA states, Umeyama-aligns their camera-0 centers
+    with scale, estimates the intrinsics rotation between the two
+    calibrations from unprojected pixel-grid directions, aligns the
+    trajectories at their first image, and reports: the scale factor,
+    per-pose center error stats after the similarity alignment, the
+    intrinsics-rotation angle and residual direction errors, and the
+    reference's headline metric — the relative endpoint translation
+    difference (% of mean trajectory length).  Also writes
+    ``reconstructions_aligned_at_start.mlp`` next to the common prefix
+    of the two paths when the states' .obj exports exist.
+    """
+    import numpy as np
+
+    from camera_calibration_tpu.io import state_io
+    from camera_calibration_tpu.models import protocol
+
+    def q_to_r(q):
+        w, x, y, z = q
+        return np.array([
+            [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+            [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+            [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+        ])
+
+    def global_tr_images(state):
+        # x_cam = R(cam_q_rig) (R(rig_q_global) x + rig_t_global) + cam_t_rig
+        # (ba/state.transform_to_camera); global_T_image inverts the chain.
+        rc = q_to_r(np.asarray(state.cam_q_rig[0], float))
+        tc = np.asarray(state.cam_t_rig[0], float)
+        rs, ts = [], []
+        for q, t in zip(np.asarray(state.rig_q_global, float),
+                        np.asarray(state.rig_t_global, float)):
+            r_cg = rc @ q_to_r(q)
+            t_cg = rc @ np.asarray(t) + tc
+            rs.append(r_cg.T)
+            ts.append(-r_cg.T @ t_cg)
+        return np.stack(rs), np.stack(ts)
+
+    state1, _, _ = state_io.load_ba_state(args.state_a)
+    state2, _, _ = state_io.load_ba_state(args.state_b)
+    if state1.rig_q_global.shape[0] != state2.rig_q_global.shape[0]:
+        print(
+            "error: the reconstructions must contain the same images "
+            f"({state1.rig_q_global.shape[0]} vs "
+            f"{state2.rig_q_global.shape[0]} poses)"
+        )
+        return 1
+
+    r1, c1 = global_tr_images(state1)  # rotations (M,3,3), centers (M,3)
+    r2, c2 = global_tr_images(state2)
+    m = c1.shape[0]
+
+    # Umeyama with scale: centers1 -> centers2 (bundle_adjustment.cc:258)
+    mu1, mu2 = c1.mean(0), c2.mean(0)
+    a_c, b_c = c1 - mu1, c2 - mu2
+    cov = b_c.T @ a_c / m
+    u, dvals, vt = np.linalg.svd(cov)
+    s_mat = np.eye(3)
+    if np.linalg.det(u) * np.linalg.det(vt) < 0:
+        s_mat[2, 2] = -1
+    r_align = u @ s_mat @ vt
+    var1 = (a_c ** 2).sum() / m
+    scale = float(np.trace(np.diag(dvals) @ s_mat) / max(var1, 1e-30))
+    t_align = mu2 - scale * r_align @ mu1
+    c1_aligned = scale * c1 @ r_align.T + t_align
+    center_err = np.linalg.norm(c1_aligned - c2, axis=-1)
+    print(f"umeyama scale (state_a -> state_b): {scale:.8f}")
+    print(
+        f"pose center error after similarity alignment: median "
+        f"{np.median(center_err):.6g} mean {center_err.mean():.6g} "
+        f"max {center_err.max():.6g}"
+    )
+
+    # scale reconstruction 1's trajectory (bundle_adjustment.cc:267-271)
+    c1s = scale * c1
+
+    # intrinsics rotation from unprojected pixel-grid line directions
+    # (bundle_adjustment.cc:281-300; kPixelStep 10)
+    ma, mb = state1.intrinsics[0], state2.intrinsics[0]
+    if ma.width != mb.width or ma.height != mb.height:
+        print("error: intrinsics image sizes differ")
+        return 1
+    step = 10
+    xs = np.arange(0, ma.width, step) + 0.5
+    ys = np.arange(0, ma.height, step) + 0.5
+    gx, gy = np.meshgrid(xs, ys)
+    px = np.stack([gx, gy], -1).reshape(-1, 2)
+    da, va = protocol.unproject(ma, px)
+    db, vb = protocol.unproject(mb, px)
+    valid = np.asarray(va & vb)
+    da = np.asarray(da)[valid]
+    db = np.asarray(db)[valid]
+    da /= np.linalg.norm(da, axis=-1, keepdims=True)
+    db /= np.linalg.norm(db, axis=-1, keepdims=True)
+    # Kabsch: intrinsics1_r_intrinsics2 with da[i] = R db[i]
+    u, _, vt = np.linalg.svd(da.T @ db)
+    s_mat = np.eye(3)
+    if np.linalg.det(u) * np.linalg.det(vt) < 0:
+        s_mat[2, 2] = -1
+    r_intr = u @ s_mat @ vt
+    ang = np.degrees(
+        np.arccos(np.clip(0.5 * (np.trace(r_intr) - 1.0), -1.0, 1.0))
+    )
+    resid = np.degrees(
+        np.arccos(np.clip(np.sum(da * (db @ r_intr.T), -1), -1.0, 1.0))
+    )
+    print(
+        f"intrinsics rotation between calibrations: {ang:.6f} deg; "
+        f"rotation-aligned direction error: median {np.median(resid):.6f} "
+        f"max {resid.max():.6f} deg"
+    )
+
+    # align at the first image, measure the endpoint difference relative
+    # to the mean trajectory length (bundle_adjustment.cc:302-326)
+    r_first = np.eye(4)
+    r_first[:3, :3] = r_intr
+    g1_first = np.eye(4)
+    g1_first[:3, :3] = r1[0]
+    g1_first[:3, 3] = c1s[0]
+    g2_first = np.eye(4)
+    g2_first[:3, :3] = r2[0]
+    g2_first[:3, 3] = c2[0]
+    first1_tr_first2 = g1_first @ r_first @ np.linalg.inv(g2_first)
+    back2 = np.eye(4)
+    back2[:3, :3] = r2[-1]
+    back2[:3, 3] = c2[-1]
+    back2_in_1 = first1_tr_first2 @ back2
+    endpoint_diff = float(np.linalg.norm(back2_in_1[:3, 3] - c1s[-1]))
+    traj1 = float(np.linalg.norm(np.diff(c1s, axis=0), axis=-1).sum())
+    traj2 = float(np.linalg.norm(np.diff(c2, axis=0), axis=-1).sum())
+    rel = endpoint_diff / max(0.5 * (traj1 + traj2), 1e-30)
+    print(f"relative endpoint difference: {100.0 * rel:.4f}%")
+
+    # MeshLab project with the aligned transforms (cc:328-377)
+    obj1_cloud = os.path.join(os.path.abspath(args.state_a), "points.yaml.obj")
+    obj1_poses = os.path.join(
+        os.path.abspath(args.state_a), "rig_tr_global.yaml.obj"
+    )
+    obj2_cloud = os.path.join(os.path.abspath(args.state_b), "points.yaml.obj")
+    obj2_poses = os.path.join(
+        os.path.abspath(args.state_b), "rig_tr_global.yaml.obj"
+    )
+    if all(os.path.exists(p)
+           for p in (obj1_cloud, obj1_poses, obj2_cloud, obj2_poses)):
+        from camera_calibration_tpu.io.meshlab import (
+            MeshLabMeshInfo,
+            write_meshlab_project,
+        )
+
+        prefix = os.path.commonpath(
+            [os.path.abspath(args.state_a), os.path.abspath(args.state_b)]
+        )
+        g1 = np.eye(4)
+        g1[0, 0] = g1[1, 1] = g1[2, 2] = scale
+        meshes = [
+            MeshLabMeshInfo("SfM cloud 1", obj1_cloud, g1),
+            MeshLabMeshInfo("SfM camera poses 1", obj1_poses, g1),
+            MeshLabMeshInfo("SfM cloud 2", obj2_cloud, first1_tr_first2),
+            MeshLabMeshInfo("SfM camera poses 2", obj2_poses,
+                            first1_tr_first2),
+        ]
+        mlp = os.path.join(prefix, "reconstructions_aligned_at_start.mlp")
+        write_meshlab_project(mlp, meshes)
+        print(f"wrote {mlp}")
+    return 0
+
+
 def main(argv=None):
+    # CLI entry point: the persistent XLA compilation cache is safe and
+    # valuable here (one process, one backend); library imports do NOT
+    # get it by default (see config.configure_compilation_cache).
+    from camera_calibration_tpu import config as _config
+
+    _config.configure_compilation_cache(entry_point=True)
     parser = argparse.ArgumentParser(
         prog="camera-calibration-tpu",
         description="TPU-native generic camera calibration",
@@ -1279,10 +1511,14 @@ def main(argv=None):
     p.add_argument("--dataset_files", help="existing dataset.bin")
     p.add_argument("--output_directory", required=True)
     p.add_argument(
-        "--model", default="central_generic",
+        "--model", default=None,
         choices=["central_generic", "noncentral_generic",
                  "central_thin_prism_fisheye", "central_opencv",
                  "central_radial"],
+        help="camera model (default central_generic for fresh "
+             "calibrations; on --state_directory resume, passing this "
+             "explicitly resamples/converts the loaded state to the "
+             "requested model and resolution and re-runs the pyramid)",
     )
     p.add_argument("--num_pyramid_levels", type=int, default=3)
     p.add_argument("--approx_pixels_per_cell", type=int, default=25)
@@ -1339,6 +1575,12 @@ def main(argv=None):
     p.add_argument(
         "--state_directory",
         help="resume from a saved state instead of dense initialization",
+    )
+    p.add_argument(
+        "--dense_initialization_base_path",
+        help="cache the dense initialization here (.npz): loaded when "
+             "present so re-runs skip the init phase, saved after a "
+             "fresh init (reference: calibration.cc:948-974)",
     )
     p.add_argument(
         "--localize_only", action="store_true",
@@ -1419,6 +1661,15 @@ def main(argv=None):
     p.add_argument("state_a")
     p.add_argument("state_b")
     p.set_defaults(func=cmd_compare)
+
+    p = sub.add_parser(
+        "compare-reconstructions",
+        help="Umeyama-aligned pose + intrinsics comparison of two saved "
+             "states (the reference's CompareReconstructions tool)",
+    )
+    p.add_argument("state_a")
+    p.add_argument("state_b")
+    p.set_defaults(func=cmd_compare_reconstructions)
 
     p = sub.add_parser("fit-parametric",
                        help="fit parametric models to a generic calibration")
@@ -1510,7 +1761,11 @@ def main(argv=None):
     p.add_argument("--gt_state", required=True)
     p.add_argument("--compared_state", required=True)
     p.add_argument("--camera_index", type=int, default=0)
-    p.add_argument("--trials", type=int, default=1000)
+    p.add_argument(
+        "--trials", type=int, default=10000,
+        help="Monte-Carlo trials (reference default, "
+             "tools/localization_accuracy_test.cc:47)",
+    )
     p.add_argument("--seed", type=int, default=0)
     p.set_defaults(func=cmd_localization_accuracy)
 

@@ -28,23 +28,43 @@ def configure_precision() -> None:
         jax.config.update("jax_default_matmul_precision", "highest")
 
 
-def configure_compilation_cache() -> None:
-    """Persistent XLA compilation cache.
+def configure_compilation_cache(entry_point: bool = False) -> None:
+    """Persistent XLA compilation cache (explicit opt-in).
 
     A calibration run compiles one LM-step executable per grid
     resolution (the pyramid changes shape each level); on a remote TPU
     runtime each compile costs 30-60 s, which dominates the measured
     end-to-end wall clock (~150 s of a 365 s pipeline).  The disk cache
     makes every run after the first skip them — the analog of the
-    reference being a compiled binary.  Opt out with CCTPU_JAX_CACHE=0;
-    point elsewhere with CCTPU_JAX_CACHE=/path.
+    reference being a compiled binary.
+
+    The cache is NOT enabled as an import-time side effect: on this
+    stack, cache entries written by a TPU-plugin process taint the
+    recorded XLA:CPU target features, and cache-loaded executables were
+    observed to differ numerically from fresh compiles when shared
+    across backends — a silent-wrong-numerics hazard for library
+    consumers running multi-process pipelines.  Therefore:
+
+    - our own entry points (CLI, benchmarks) call this with
+      ``entry_point=True``;
+    - library users opt in with ``CCTPU_JAX_CACHE=1`` (or ``=/path``)
+      before import, or by calling this function themselves;
+    - ``CCTPU_JAX_CACHE=0`` disables it everywhere;
+    - the cache directory is keyed by the runtime platform
+      (``.../jax_cache-<platform>``) so CPU and TPU-plugin processes
+      never share entries.
     """
     setting = os.environ.get("CCTPU_JAX_CACHE", "")
-    if setting == "0":
+    if setting == "0" or (not entry_point and setting == ""):
         return
-    cache_dir = setting or os.path.join(
+    explicit_dir = setting if setting not in ("", "1") else ""
+    try:
+        platform = jax.default_backend()
+    except Exception:
+        platform = "unknown"
+    cache_dir = explicit_dir or os.path.join(
         os.path.expanduser("~"), ".cache", "camera_calibration_tpu",
-        "jax_cache",
+        f"jax_cache-{platform}",
     )
     try:
         os.makedirs(cache_dir, exist_ok=True)
@@ -91,4 +111,4 @@ def effective_backend() -> str:
 
 
 configure_precision()
-configure_compilation_cache()
+configure_compilation_cache()  # no-op unless CCTPU_JAX_CACHE opts in

@@ -826,9 +826,14 @@ class FeatureDetector:
         each axis neighbor).  All passes loop until nothing changes
         (cc:411-414) — implemented as a vectorized parallel fixed point
         over the board lattice (all checks evaluated on each pass's
-        snapshot, flagged features deleted together): the reference's
-        sequential in-pass deletions reach the same stable set, but the
-        per-feature dict walk cost ~0.8 s on a 3.5k-corner board.
+        snapshot, flagged features deleted together; the perpendicular
+        pass deletes one element per failing pair, mirroring the
+        reference's delete-the-current-center semantics).  The stable
+        set matches the reference's sequential in-pass deletions on all
+        tested boards; pathological lattices could differ at the margin
+        since the snapshot order is not the map-iteration order.  The
+        per-feature dict walk this replaces cost ~0.8 s on a
+        3.5k-corner board.
         """
         opts = self.opts
         if len(dets) < 5:
@@ -946,8 +951,17 @@ class FeatureDetector:
                 cdef = np.zeros_like(present)
                 cdef[core] = defined & (nv[..., 0] > 1e-12)
                 # neighbors along the directions PERPENDICULAR to the
-                # chord axis (chord "v" validates horizontal neighbors)
+                # chord axis (chord "v" validates horizontal neighbors).
+                # The reference's sequential loop deletes ONLY the current
+                # center on failure (feature_detector_tagged_pattern.cc:
+                # 600-612) — the neighbor then no longer finds it in the
+                # map and survives unless it independently fails.  The
+                # vectorized pass mirrors that by deleting only the
+                # scan-order-first element of each failing pair; the
+                # fixed point re-evaluates the survivor next iteration.
                 for dx, dy in ((py_, px_), (-py_, -px_)):
+                    if not (dy > 0 or (dy == 0 and dx > 0)):
+                        continue  # pair handled from its first element
                     both = (p_core & sh(present, dx, dy)
                             & cdef[core] & sh(cdef, dx, dy))
                     dot = np.sum(chord[core] * sh(chord, dx, dy), -1)

@@ -652,3 +652,115 @@ class DenseInitializer:
             buffer_size=self.bsize,
             image_size=self.image_size,
         )
+
+
+# ----------------------- dense-initialization cache -----------------------
+
+def _pose_list_to_arrays(poses):
+    """list[(R, t) | None] -> (valid (N,), R (N,3,3), t (N,3))."""
+    n = len(poses)
+    valid = np.zeros(n, bool)
+    rs = np.zeros((n, 3, 3))
+    ts = np.zeros((n, 3))
+    for i, p in enumerate(poses):
+        if p is not None:
+            valid[i] = True
+            rs[i] = np.asarray(p[0], np.float64)
+            ts[i] = np.asarray(p[1], np.float64)
+    return valid, rs, ts
+
+
+def _arrays_to_pose_list(valid, rs, ts):
+    return [
+        (rs[i], ts[i]) if valid[i] else None for i in range(len(valid))
+    ]
+
+
+def save_dense_init(path, results):
+    """Serialize per-camera dense-initialization results to ``path``.
+
+    The analog of the reference's dense-initialization disk cache
+    (SaveDenseInitialization, calibration_io.cc:249-321; used by
+    Calibrate() so a re-run skips the init phase, calibration.cc:948-974).
+    ``results``: list of DenseInitResult or NoncentralInitResult, one per
+    camera.  Format: a single .npz with per-camera key prefixes.
+    """
+    import os
+
+    blob = {"num_cameras": np.asarray(len(results))}
+    for ci, res in enumerate(results):
+        p = f"cam{ci}_"
+        if res is None:
+            blob[p + "kind"] = np.asarray("none")
+            continue
+        from camera_calibration_tpu.init.noncentral_init import (
+            NoncentralInitResult,
+        )
+
+        if isinstance(res, NoncentralInitResult):
+            blob[p + "kind"] = np.asarray("noncentral")
+            blob[p + "point_sum"] = res.point_sum
+            blob[p + "point_sq_sum"] = res.point_sq_sum
+            blob[p + "point_count"] = res.point_count
+        else:
+            blob[p + "kind"] = np.asarray("central")
+            blob[p + "direction_sum"] = res.direction_sum
+            blob[p + "direction_count"] = res.direction_count
+        blob[p + "image_used"] = np.asarray(res.image_used, bool)
+        v, rs, ts = _pose_list_to_arrays(res.image_tr_global)
+        blob[p + "img_valid"] = v
+        blob[p + "img_r"] = rs
+        blob[p + "img_t"] = ts
+        v, rs, ts = _pose_list_to_arrays(res.global_tr_known_geometry)
+        blob[p + "geom_valid"] = v
+        blob[p + "geom_r"] = rs
+        blob[p + "geom_t"] = ts
+        blob[p + "buffer_size"] = np.asarray(res.buffer_size)
+        blob[p + "image_size"] = np.asarray(res.image_size)
+    d = os.path.dirname(os.path.abspath(path))
+    os.makedirs(d, exist_ok=True)
+    np.savez_compressed(path, **blob)
+
+
+def load_dense_init(path):
+    """Load results saved by save_dense_init (LoadDenseInitialization,
+    calibration_io.cc:323-420).  Returns a list of per-camera results."""
+    with np.load(path if str(path).endswith(".npz") else str(path) + ".npz",
+                 allow_pickle=False) as z:
+        n = int(z["num_cameras"])
+        out = []
+        for ci in range(n):
+            p = f"cam{ci}_"
+            kind = str(z[p + "kind"])
+            if kind == "none":
+                out.append(None)
+                continue
+            common = dict(
+                image_used=list(z[p + "image_used"]),
+                image_tr_global=_arrays_to_pose_list(
+                    z[p + "img_valid"], z[p + "img_r"], z[p + "img_t"]
+                ),
+                global_tr_known_geometry=_arrays_to_pose_list(
+                    z[p + "geom_valid"], z[p + "geom_r"], z[p + "geom_t"]
+                ),
+                buffer_size=tuple(int(v) for v in z[p + "buffer_size"]),
+                image_size=tuple(int(v) for v in z[p + "image_size"]),
+            )
+            if kind == "noncentral":
+                from camera_calibration_tpu.init.noncentral_init import (
+                    NoncentralInitResult,
+                )
+
+                out.append(NoncentralInitResult(
+                    point_sum=z[p + "point_sum"],
+                    point_sq_sum=z[p + "point_sq_sum"],
+                    point_count=z[p + "point_count"],
+                    **common,
+                ))
+            else:
+                out.append(DenseInitResult(
+                    direction_sum=z[p + "direction_sum"],
+                    direction_count=z[p + "direction_count"],
+                    **common,
+                ))
+    return out

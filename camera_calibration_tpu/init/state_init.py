@@ -228,38 +228,10 @@ def build_ba_state(
         intrinsics=intrinsics,
     )
 
-    # Observation tables: only used imagesets, sorted by camera.
-    sub = Dataset(
-        num_cameras=n_cameras,
-        image_sizes=dataset.image_sizes,
-        imagesets=[
-            s if used[i] else type(s)(features=[[] for _ in range(n_cameras)])
-            for i, s in enumerate(dataset.imagesets)
-        ],
-        known_geometries=dataset.known_geometries,
-    )
-    # build one table per camera directly
-    from camera_calibration_tpu.ba.dataset import PointFeature  # noqa: F401
+    # Observation tables: only used imagesets, one table per camera.
+    from camera_calibration_tpu.ba.dataset import build_per_camera_tables
 
-    data = []
-    for c in range(n_cameras):
-        ims, ptids, pixels = [], [], []
-        for i, s in enumerate(sub.imagesets):
-            for f in s.features[c]:
-                if f.feature_id in fid_to_idx:
-                    ims.append(i)
-                    ptids.append(fid_to_idx[f.feature_id])
-                    pixels.append(np.asarray(f.xy, np.float64))
-        n = len(ims)
-        data.append(
-            ObservationTable(
-                imageset=jnp.asarray(np.array(ims, np.int32)),
-                camera=jnp.full(n, c, jnp.int32),
-                point=jnp.asarray(np.array(ptids, np.int32)),
-                pixel=jnp.asarray(
-                    np.stack(pixels) if n else np.zeros((0, 2)), dtype
-                ),
-                valid=jnp.ones(n, bool),
-            )
-        )
-    return state, tuple(data), fid_to_idx, used
+    data = build_per_camera_tables(
+        dataset, fid_to_idx, image_used=used, dtype=dtype
+    )
+    return state, data, fid_to_idx, used

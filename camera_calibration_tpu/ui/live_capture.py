@@ -162,14 +162,18 @@ class LiveImageConsumer:
         return False
 
 
-def run_live_capture(image_input, consumer: LiveImageConsumer):
-    """Drive an ImageInput through the consumer until it is exhausted or
-    options.max_imagesets is reached.  Returns the number of kept
-    imagesets."""
+def run_live_capture(image_input, consumer: LiveImageConsumer,
+                     stop_event=None):
+    """Drive an ImageInput through the consumer until it is exhausted,
+    options.max_imagesets is reached, or ``stop_event`` (a
+    threading.Event, e.g. the on-screen pattern display's quit key) is
+    set.  Returns the number of kept imagesets."""
     opts = consumer.options
     kept = 0
     last = 0.0
     for images in image_input:
+        if stop_event is not None and stop_event.is_set():
+            break
         now = time.monotonic()
         if opts.capture_interval > 0 and (now - last) < opts.capture_interval:
             continue

@@ -67,8 +67,15 @@ class PatternDisplay:
         except Exception:
             return False
 
-    def run(self, on_capture=None, max_captures=None):
+    def run(self, on_capture=None, max_captures=None, stop_event=None):
         """Show fullscreen; SPACE fires on_capture, q/ESC exits.
+
+        MUST run on the main thread: OpenCV HighGUI is main-thread-only
+        on macOS and unreliable off-main on some Qt builds, so callers
+        that also drive a capture loop put the *capture* on a worker
+        thread (cli.cmd_record does).  ``stop_event``: a threading.Event;
+        the loop exits when it is set (capture finished) and sets it on
+        exit (quit key pressed) so the two loops shut each other down.
 
         Returns the number of captures taken.
         """
@@ -81,6 +88,8 @@ class PatternDisplay:
         captures = 0
         try:
             while True:
+                if stop_event is not None and stop_event.is_set():
+                    break
                 cv2.imshow(self.WINDOW, self._img8)
                 key = cv2.waitKey(30) & 0xFF
                 if key in (ord("q"), 27):
@@ -92,5 +101,7 @@ class PatternDisplay:
                     if max_captures is not None and captures >= max_captures:
                         break
         finally:
+            if stop_event is not None:
+                stop_event.set()
             cv2.destroyWindow(self.WINDOW)
         return captures

@@ -328,3 +328,65 @@ def test_mixed_precision_config_is_scoped():
     finally:
         jax.config.update("jax_enable_x64", prev_x64)
         jax.config.update("jax_default_device", prev_dev)
+
+
+def test_resample_is_near_exact():
+    """Model→model resampling is a linear solve (calibrate.
+    _linear_grid_resample): the resampled model must reproduce the old
+    model's unprojection to well below calibration noise, for BOTH grid
+    families (reference ResampleModel, calibration.cc:373-472, uses an
+    iterative refit / bilinear interp; the linear solve is tighter)."""
+    import jax.numpy as jnp
+
+    from camera_calibration_tpu.models import central_generic as cg
+    from camera_calibration_tpu.models import noncentral_generic as ncg
+
+    rng = np.random.default_rng(3)
+    w, h = 320, 240
+    gh, gw = 9, 11
+    yy, xx = np.meshgrid(np.linspace(-0.5, 0.5, gh),
+                         np.linspace(-0.6, 0.6, gw), indexing="ij")
+    dirs = np.stack([np.sin(xx), np.sin(yy), np.cos(xx) * np.cos(yy)], -1)
+    dirs += rng.normal(0, 1e-3, dirs.shape)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    model = cg.CentralGenericModel(
+        grid=jnp.asarray(dirs), width=w, height=h,
+        calibration_min_x=0, calibration_min_y=0,
+        calibration_max_x=w - 1, calibration_max_y=h - 1,
+    )
+    up = cal.resample_central_generic(model, (15, 12))
+    xs = np.arange(4, w - 4, 3) + 0.5
+    ys = np.arange(4, h - 4, 3) + 0.5
+    gx, gy = np.meshgrid(xs, ys)
+    px = jnp.asarray(np.stack([gx, gy], -1).reshape(-1, 2))
+    d0, v0 = cg.unproject(model, px)
+    d1, v1 = cg.unproject(up, px)
+    m = np.asarray(v0 & v1)
+    ang = np.degrees(np.arccos(np.clip(
+        np.sum(np.asarray(d0) * np.asarray(d1), -1), -1, 1)))
+    # representation floor: the 1e-3 knot noise puts sub-cell detail in
+    # the surface; 5e-4 deg ~ 0.003 px here, far below calibration noise
+    assert np.median(ang[m]) < 2e-3, np.median(ang[m])
+    assert ang[m].max() < 5e-2, ang[m].max()
+
+    # noncentral: direction AND point grids carried through the resample
+    origins = np.stack(
+        [0.1 * (yy - yy.mean()), -0.08 * (xx - xx.mean()), 0.02 * xx], -1
+    )
+    nc = ncg.NoncentralGenericModel(
+        direction_grid=jnp.asarray(dirs), point_grid=jnp.asarray(origins),
+        width=w, height=h,
+        calibration_min_x=0, calibration_min_y=0,
+        calibration_max_x=w - 1, calibration_max_y=h - 1,
+    )
+    nc_up = cal.resample_noncentral_generic(nc, (15, 12))
+    d0, o0, v0 = ncg.unproject(nc, px)
+    d1, o1, v1 = ncg.unproject(nc_up, px)
+    m = np.asarray(v0 & v1)
+    ang = np.degrees(np.arccos(np.clip(
+        np.sum(np.asarray(d0) * np.asarray(d1), -1), -1, 1)))
+    assert np.median(ang[m]) < 2e-3, np.median(ang[m])
+    # line anchors: compare perpendicular offset of the resampled line
+    rel = np.asarray(o1) - np.asarray(o0)
+    perp = rel - np.sum(rel * np.asarray(d0), -1, keepdims=True) * np.asarray(d0)
+    assert np.median(np.linalg.norm(perp, axis=-1)[m]) < 1e-4

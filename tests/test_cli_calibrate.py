@@ -165,3 +165,149 @@ def test_cli_multi_dataset_merge(tmp_path):
     assert rc == 0
     med = _median_err(str(out), f"{pa},{pb}")
     assert med < 0.05, med
+
+
+def test_cli_compare_reconstructions(tmp_path, capsys):
+    """CompareReconstructions parity (reference:
+    tools/bundle_adjustment.cc:223-396): GT state vs a scaled + slightly
+    perturbed copy must recover the scale, report small aligned pose
+    errors, a ~0 intrinsics rotation, and write the aligned .mlp."""
+    import ba_harness
+    from camera_calibration_tpu.ba.state import scale_state
+
+    state_a, _, _ = ba_harness.make_problem(seed=5, n_points=20, n_poses=6)
+    used = [True] * 6
+    fid_map = {i: i for i in range(20)}
+
+    # state_b: metric scale x2 plus small pose-translation noise
+    rng = np.random.default_rng(0)
+    state_b = scale_state(state_a, 2.0)
+    state_b = type(state_b)(
+        rig_q_global=state_b.rig_q_global,
+        rig_t_global=state_b.rig_t_global
+        + rng.normal(0, 1e-4, state_b.rig_t_global.shape),
+        cam_q_rig=state_b.cam_q_rig,
+        cam_t_rig=state_b.cam_t_rig,
+        points=state_b.points,
+        intrinsics=state_b.intrinsics,
+    )
+
+    dir_a = tmp_path / "rec_a" / "state"
+    dir_b = tmp_path / "rec_b" / "state"
+    state_io.save_ba_state(dir_a, state_a, used, fid_map)
+    state_io.save_ba_state(dir_b, state_b, used, fid_map)
+
+    rc = cli.main(["compare-reconstructions", str(dir_a), str(dir_b)])
+    assert rc == 0
+    out = capsys.readouterr().out
+    scale = float(out.split("umeyama scale (state_a -> state_b):")[1]
+                  .split()[0])
+    assert abs(scale - 2.0) < 1e-2, out
+    med_center = float(out.split("median")[1].split()[0])
+    assert med_center < 1e-2, out
+    rot = float(out.split("intrinsics rotation between calibrations:")[1]
+                .split()[0])
+    assert rot < 0.5, out
+    rel = float(out.split("relative endpoint difference:")[1]
+                .split("%")[0])
+    assert abs(rel) < 1.0, out
+    assert (tmp_path / "reconstructions_aligned_at_start.mlp").exists()
+
+    # mismatched pose counts must be rejected (reference CHECK_EQ)
+    state_c, _, _ = ba_harness.make_problem(seed=5, n_points=20, n_poses=4)
+    dir_c = tmp_path / "rec_c" / "state"
+    state_io.save_ba_state(dir_c, state_c, [True] * 4, fid_map)
+    assert cli.main(
+        ["compare-reconstructions", str(dir_a), str(dir_c)]
+    ) == 1
+
+
+def test_cli_dense_init_cache(tmp_path, capsys):
+    """--dense_initialization_base_path round trip (reference:
+    calibration.cc:948-974): the first run computes and saves the dense
+    initialization, the second loads it and skips the init phase."""
+    ds, cam, gt_poses = tdi._make_synthetic_dataset(
+        seed=11, n_imagesets=10, k=12, w=320, h=240
+    )
+    ds_path = tmp_path / "dataset.bin"
+    dataset_bin.save_dataset(ds_path, ds)
+    cache = tmp_path / "dense_init"
+    common = [
+        "calibrate",
+        "--dataset_files", str(ds_path),
+        "--dtype", "float32",
+        "--num_pyramid_levels", "1",
+        "--final_iterations", "20",
+        "--outlier_removal_factor", "0",
+        "--seed", "3",
+        "--dense_initialization_base_path", str(cache),
+    ]
+    rc = cli.main(common + ["--output_directory", str(tmp_path / "o1")])
+    assert rc == 0
+    out1 = capsys.readouterr().out
+    assert "saved dense initialization" in out1
+    assert (tmp_path / "dense_init.npz").exists()
+
+    rc = cli.main(common + ["--output_directory", str(tmp_path / "o2")])
+    assert rc == 0
+    out2 = capsys.readouterr().out
+    assert "loaded dense initialization" in out2
+    assert _median_err(str(tmp_path / "o2"), str(ds_path)) < 0.05
+
+
+def test_cli_resume_resample_finer(synth_cli_setup, tmp_path):
+    """--state_directory resume with an EXPLICIT --model resamples the
+    loaded 6x6 grid to the requested resolution before optimizing
+    (reference: ResampleModelsIfNecessary, calibration.cc:571-612)."""
+    ds_path, state_dir = synth_cli_setup
+    out = tmp_path / "out_resample"
+    rc = cli.main([
+        "calibrate",
+        "--dataset_files", ds_path,
+        "--state_directory", state_dir,
+        "--output_directory", str(out),
+        "--model", "central_generic",
+        "--num_pyramid_levels", "1",
+        "--approx_pixels_per_cell", "30",
+        "--dtype", "float32",
+        "--final_iterations", "25",
+        "--outlier_removal_factor", "0",
+    ])
+    assert rc == 0
+    state, _, _ = state_io.load_ba_state(out / "state")
+    from camera_calibration_tpu import calibrate as cal
+
+    m = state.intrinsics[0]
+    full = cal.compute_grid_resolution(
+        m.calibration_max_x + 1 - m.calibration_min_x,
+        m.calibration_max_y + 1 - m.calibration_min_y, 30,
+    )
+    assert m.grid.shape[:2] == (max(4, full[1]), max(4, full[0]))
+    assert m.grid.shape[:2] != (6, 6)
+    assert _median_err(str(out), ds_path) < 0.05
+
+
+def test_cli_resume_convert_to_parametric(synth_cli_setup, tmp_path):
+    """Resume-time model TYPE conversion: load a central-generic state,
+    request --model central_opencv — the loaded model is converted via a
+    dense-direction fit and BA continues on the parametric model
+    (reference: ResampleModel general arm, calibration.cc:424-525)."""
+    ds_path, state_dir = synth_cli_setup
+    out = tmp_path / "out_convert"
+    rc = cli.main([
+        "calibrate",
+        "--dataset_files", ds_path,
+        "--state_directory", state_dir,
+        "--output_directory", str(out),
+        "--model", "central_opencv",
+        "--num_pyramid_levels", "1",
+        "--dtype", "float32",
+        "--final_iterations", "30",
+        "--outlier_removal_factor", "0",
+    ])
+    assert rc == 0
+    state, _, _ = state_io.load_ba_state(out / "state")
+    from camera_calibration_tpu.models import parametric as pm
+
+    assert isinstance(state.intrinsics[0], pm.CentralOpenCVModel)
+    assert _median_err(str(out), ds_path) < 0.1

@@ -238,3 +238,71 @@ def test_noncentral_init_fit_and_ba(nc_init):
     )
     med = np.median(err[np.isfinite(err)])
     assert med < 0.01, (med, info["final_cost"])
+
+
+def test_noncentral_pyramid_calibrate(nc_init):
+    """Noncentral pyramid parity (round-4 verdict #3): the full chain
+    detector-features -> noncentral init -> COARSE noncentral fit ->
+    pyramid BA with NoncentralGeneric->NoncentralGeneric resampling
+    (reference: calibration.cc:383-421 + pyramid loop :1050-1094) must
+    converge below 0.01 px on every seed."""
+    from camera_calibration_tpu import calibrate as cal
+    from camera_calibration_tpu.ba.state import BAState
+    from camera_calibration_tpu.models.fit import fit_noncentral_to_lines
+    from camera_calibration_tpu.ops import se3
+
+    ds, model_gt, poses_gt, result = nc_init
+    assert result is not None and sum(result.image_used) >= 8
+
+    # coarse fit: two pyramid levels below the full resolution
+    appc = 40  # -> full grid 10x8 on the 320x240 camera
+    full = cal.compute_grid_resolution(W, H, appc)
+    coarse = cal.grid_resolution_for_level(1, *full)
+    dirs, anchors, valid, c = result.line_field()
+    model = fit_noncentral_to_lines(
+        dirs, anchors, valid, (max(4, coarse[1]), max(4, coarse[0])),
+        width=W, height=H,
+    )
+
+    geom = ds.known_geometries[0]
+    fid_to_idx = {f: i for i, f in enumerate(sorted(
+        geom.feature_id_to_position.keys()))}
+    pts = np.zeros((len(fid_to_idx), 3))
+    for f, i in fid_to_idx.items():
+        px_pos = geom.feature_id_to_position[f]
+        pts[i] = [px_pos[0] * CELL, px_pos[1] * CELL, 0.0]
+    used = [si for si, u in enumerate(result.image_used) if u]
+    rig_q = np.tile([1.0, 0, 0, 0], (len(ds.imagesets), 1))
+    rig_t = np.zeros((len(ds.imagesets), 3))
+    for si in used:
+        r, t = result.image_tr_global[si]
+        rig_q[si] = np.asarray(se3.matrix_to_quat(jnp.asarray(r)))
+        rig_t[si] = t
+    state = BAState(
+        rig_q_global=jnp.asarray(rig_q),
+        rig_t_global=jnp.asarray(rig_t),
+        cam_q_rig=jnp.asarray([[1.0, 0, 0, 0]]),
+        cam_t_rig=jnp.zeros((1, 3)),
+        points=jnp.asarray(pts),
+        intrinsics=(model,),
+    )
+    from camera_calibration_tpu.ba.dataset import build_per_camera_tables
+
+    data = build_per_camera_tables(ds, fid_to_idx,
+                                   image_used=result.image_used)
+    options = cal.CalibrateOptions(
+        num_pyramid_levels=2,
+        approx_pixels_per_cell=appc,
+        outlier_removal_factor=8.0,
+        final_iterations=60,
+        solver="schur_direct",
+    )
+    state, data, rep = cal.calibrate(
+        state, data, options,
+        known_geometries=ds.known_geometries,
+        feature_id_to_point_index=fid_to_idx,
+        image_used=result.image_used,
+    )
+    # the pyramid ran and the final model is at the FULL resolution
+    assert state.intrinsics[0].direction_grid.shape[:2] == (full[1], full[0])
+    assert rep["reprojection_error_median"] < 0.01, rep
