@@ -203,7 +203,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from camera_calibration_tpu import config as _cctpu_config
     from camera_calibration_tpu.ba import lm_pcg
+
+    _cctpu_config.configure_compilation_cache(entry_point=True)
 
     dtype = jnp.float32
     state, data, meta = make_bench_problem()
@@ -250,6 +253,82 @@ def main():
     iters_per_s = n_scan / float(np.median(trials))
 
     extras = {}
+
+    # --- roofline anchor: XLA's own cost analysis of the compiled step
+    # gives bytes-accessed and FLOPs per 20-iteration scan call; divided
+    # by measured wall time that anchors iter/s to the hardware ceilings
+    # (TPU v5e: ~819 GB/s HBM, ~197 TFLOP/s bf16 / ~98 TFLOP/s f32).
+    try:
+        # step is the cached jax.jit function — re-lowering hits the
+        # in-process executable cache, so this is cheap
+        compiled = step.lower(state, warm, lam0, data).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        bytes_per_call = float(ca.get("bytes accessed", 0.0))
+        flops_per_call = float(ca.get("flops", 0.0))
+        med = float(np.median(trials))
+        if bytes_per_call > 0:
+            # static count: while-loop (CG) bodies are counted ONCE by
+            # XLA (trip counts are dynamic), so this is a lower bound —
+            # it matches the 134 MB-of-blocks-per-sweep figure.
+            extras["hbm_static_gb_per_lm_iter"] = round(
+                bytes_per_call / n_scan / 1e9, 4
+            )
+        if flops_per_call > 0:
+            extras["static_tflop_per_lm_iter"] = round(
+                flops_per_call / n_scan / 1e12, 5
+            )
+        # analytic traffic model: the CG matvec pair re-reads the block
+        # cache twice per CG iteration (JᵀWJ needs the J pass then the
+        # Jᵀ pass; the Schur elimination's data dependency forces the
+        # two passes — RESULTS.md).  blocks bytes × 2 × measured CG
+        # iterations dominates everything else at this scale.
+        blocks0, _ = lm_pcg.compute_blocks(data, state, warm, options)
+        b_bytes = sum(
+            x.size * x.dtype.itemsize
+            for x in jax.tree_util.tree_leaves(blocks0)
+            if hasattr(x, "size")
+        )
+        cg_iters = float(np.mean(np.asarray(out[3][3])))
+        model_gb_per_iter = b_bytes * 2.0 * cg_iters / 1e9
+        extras["cg_iters_per_lm_iter"] = round(cg_iters, 1)
+        extras["hbm_model_gb_per_lm_iter"] = round(model_gb_per_iter, 3)
+        extras["achieved_hbm_gb_per_s"] = round(
+            model_gb_per_iter * iters_per_s, 1
+        )
+        extras["hbm_peak_fraction"] = round(
+            model_gb_per_iter * iters_per_s / 819.0, 3
+        )
+    except Exception as e:
+        extras["roofline_error"] = str(e)[:160]
+
+    # --- time-to-convergence under the shipped solver="auto" default:
+    # iter/s and wall-clock-to-target diverge (schur_direct's exact
+    # Newton step is 10x slower per iteration yet wins time-to-converge
+    # on small problems — RESULTS.md), so the driver tracks both.
+    try:
+        auto_opts = lm_pcg.BAOptions(
+            max_lm_iterations=60, max_pcg_iterations=20,
+            cost_reduction_threshold=1e-4, solver="auto",
+            proj_iterations=4, lm_steps_per_call=5,
+        )
+        s_try = perturb_bench_state(state, seed=321)
+        jax.block_until_ready(s_try)
+        # one untimed run compiles the auto-solver path
+        lm_pcg.optimize(s_try, None, None, auto_opts, data=data)
+        s_try = perturb_bench_state(state, seed=322)
+        jax.block_until_ready(s_try)
+        t0 = time.perf_counter()
+        _, info_auto = lm_pcg.optimize(
+            s_try, None, None, auto_opts, data=data
+        )
+        extras["seconds_to_converge_auto"] = round(
+            time.perf_counter() - t0, 3
+        )
+        extras["converged_cost_auto"] = float(info_auto["final_cost"])
+    except Exception as e:
+        extras["time_to_convergence_error"] = str(e)[:160]
     for attempt in range(3):  # retried: the remote runtime drops the
         try:                  # occasional compile RPC
             extras["corner_refinements_per_s"] = round(
