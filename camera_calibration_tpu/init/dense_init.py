@@ -254,13 +254,29 @@ class DenseInitializer:
     # ---------------- bootstrap from a triple ----------------
 
     def _dense_pattern_matches(self, imageset_index, geometry_index):
-        """Densified matches of one geometry at identity pose (pattern coords)."""
+        """Densified matches of one geometry at identity pose (pattern coords).
+
+        Memoized: the result is a pure function of the imageset's
+        features (the pose is always identity here), and the bootstrap's
+        RANSAC loop re-requests the same imagesets hundreds of times —
+        densification was 40% of the measured warm init wall clock
+        before caching.
+        """
+        cache = getattr(self, "_dpm_cache", None)
+        if cache is None:
+            cache = self._dpm_cache = {}
+        key = (imageset_index, geometry_index)
+        hit = cache.get(key)
+        if hit is not None:
+            return hit
         feats = self.dataset.imagesets[imageset_index].features[self.ci]
         geoms = [self.dataset.known_geometries[geometry_index]]
         poses = [(np.eye(3), np.zeros(3))]
-        return densify_matches(
+        out = densify_matches(
             feats, geoms, poses, self.bsize, self.image_size
         )
+        cache[key] = out
+        return out
 
     def attempt_bootstrap(self):
         """Random-triple-> Ramalingam-Sturm; returns True on success.
@@ -276,33 +292,30 @@ class DenseInitializer:
         ]
         if len(candidates) < 3:
             return False
-        best = None
-        for attempt in range(self.opts.max_initialization_attempts):
-            triple = self.rng.choice(candidates, 3, replace=False)
-            gi = 0  # bootstrap uses the first pattern sheet
-            dm = []
-            ok = True
-            for si in triple:
-                pts, valid = self._dense_pattern_matches(si, gi)
-                if valid.sum() < self.opts.min_matched_area_attempt * n_px:
-                    ok = False
-                    break
-                dm.append((pts, valid))
-            if not ok:
-                continue
-            common = dm[0][1] & dm[1][1] & dm[2][1]
-            n_common = int(common.sum())
-            if n_common < max(4, self.opts.min_matched_area_attempt * n_px):
-                continue
-            clouds = np.stack([pts[common][:, :2] for pts, _ in dm])  # (3,N,2)
+        gi = 0  # bootstrap uses the first pattern sheet
+        min_attempt = self.opts.min_matched_area_attempt * n_px
+
+        # Per-candidate densified matches once (memoized), flattened for
+        # cheap per-triple indexing.
+        flat = {}
+        for si in candidates:
+            pts, valid = self._dense_pattern_matches(si, gi)
+            if valid.sum() >= min_attempt:
+                flat[si] = (pts.reshape(-1, 3), valid.ravel())
+        eligible = [si for si in candidates if si in flat]
+        if len(eligible) < 3:
+            return False
+
+        def solve_triple(triple, idx):
+            """RS solve of one triple's common pixels; None when not ok."""
+            if idx.size > 512:
+                idx = self.rng.choice(idx, 512, replace=False)
+            clouds = np.stack([flat[si][0][idx][:, :2] for si in triple])
             # Fixed 512-row shape for the SVD systems: subsample when
             # larger, zero-weight-pad when smaller — the RS solver is
             # weight-masked, so ONE jitted compilation serves every
             # attempt (variable shapes previously recompiled per attempt
             # and dominated the bootstrap wall clock).
-            if clouds.shape[1] > 512:
-                sel = self.rng.choice(clouds.shape[1], 512, replace=False)
-                clouds = clouds[:, sel]
             n_c = clouds.shape[1]
             wts = np.zeros(512)
             wts[:n_c] = 1.0
@@ -312,16 +325,52 @@ class DenseInitializer:
                 jnp.asarray(clouds), jnp.asarray(wts)
             )
             if not bool(out["ok"]):
+                return None
+            return {k: np.asarray(v) for k, v in out.items()}
+
+        # Phase 1 (matches the reference's random-attempt loop,
+        # cc:1263-1302): draw random triples; the RS solver only needs to
+        # run when a triple clears the acceptance area, because the
+        # best-so-far ranking depends ONLY on the common-pixel fraction
+        # — RS-solving every rejected attempt (the previous behavior)
+        # bought nothing.  Phase 2: when no triple reaches acceptance,
+        # solve the scanned triples in descending-fraction order and
+        # keep the first that solves — identical to solving all of them
+        # and keeping the max-fraction ok one.
+        scanned = {}
+        accepted = None
+        for attempt in range(self.opts.max_initialization_attempts):
+            triple = tuple(self.rng.choice(candidates, 3, replace=False))
+            if any(si not in flat for si in triple):
                 continue
-            frac = n_common / n_px
-            if best is None or frac > best[0]:
-                best = (frac, triple, dm,
-                        {k: np.asarray(v) for k, v in out.items()})
+            key = tuple(sorted(triple))
+            if key in scanned:
+                continue
+            common = flat[triple[0]][1] & flat[triple[1]][1] \
+                & flat[triple[2]][1]
+            idx = np.flatnonzero(common)
+            if idx.size < max(4, min_attempt):
+                continue
+            frac = idx.size / n_px
+            scanned[key] = (frac, triple, idx)
             if frac >= self.opts.min_matched_area_accept:
+                out = solve_triple(triple, idx)
+                if out is None:
+                    continue
+                accepted = (frac, triple, out)
                 break
-        if best is None:
+        if accepted is None:
+            for frac, triple, idx in sorted(
+                scanned.values(), key=lambda v: -v[0]
+            ):
+                out = solve_triple(triple, idx)
+                if out is not None:
+                    accepted = (frac, triple, out)
+                    break
+        if accepted is None:
             return False
-        frac, triple, dm, out = best
+        frac, triple, out = accepted
+        dm = [self._dense_pattern_matches(si, gi) for si in triple]
         # Strict acceptance per the reference (≥30% image area, cc:1296);
         # if no triple ever reaches it, fall back to the best one found as
         # long as it clears a floor — small patterns in large images would
@@ -398,6 +447,49 @@ class DenseInitializer:
         n = np.linalg.norm(acc)
         return acc / n if n > 1e-12 else None
 
+    def _calibrated_bearings(self, px):
+        """Vectorized _calibrated_bearing over (N, 2) buffer positions.
+
+        Returns (bearings (N, 3), valid (N,)); invalid rows are zero.
+        """
+        bw, bh = self.bsize
+        px = np.asarray(px, np.float64).reshape(-1, 2)
+        n = px.shape[0]
+        fx = px[:, 0] - 0.5
+        fy = px[:, 1] - 0.5
+        x0 = np.floor(fx).astype(int)
+        y0 = np.floor(fy).astype(int)
+        tx = fx - x0
+        ty = fy - y0
+        acc = np.zeros((n, 3))
+        wsum = np.zeros(n)
+        for dx, dy, wgt in (
+            (0, 0, (1 - tx) * (1 - ty)),
+            (1, 0, tx * (1 - ty)),
+            (0, 1, (1 - tx) * ty),
+            (1, 1, tx * ty),
+        ):
+            xi = x0 + dx
+            yi = y0 + dy
+            inb = (xi >= 0) & (xi < bw) & (yi >= 0) & (yi < bh)
+            xc = np.clip(xi, 0, bw - 1)
+            yc = np.clip(yi, 0, bh - 1)
+            cnt = self.direction_count[yc, xc]
+            d = self.direction_sum[yc, xc] / np.maximum(cnt, 1)[:, None]
+            nrm = np.linalg.norm(d, axis=-1)
+            ok = inb & (cnt > 0) & (nrm > 1e-12)
+            okw = np.where(ok, wgt, 0.0)
+            acc += okw[:, None] * np.where(
+                ok[:, None], d / np.maximum(nrm, 1e-30)[:, None], 0.0
+            )
+            wsum += okw
+        nrm = np.linalg.norm(acc, axis=-1)
+        valid = (wsum >= 0.5) & (nrm > 1e-12)
+        bearings = np.where(
+            valid[:, None], acc / np.maximum(nrm, 1e-30)[:, None], 0.0
+        )
+        return bearings, valid
+
     def _collect_correspondences(self, features, geometry_index, sparse=True,
                                  imageset_index=None):
         """(bearings, world points) from sparse features or dense matches."""
@@ -406,45 +498,47 @@ class DenseInitializer:
         sx, sy = bw / w, bh / h
         geometry = self.dataset.known_geometries[geometry_index]
         pose = self.global_tr_known_geometry[geometry_index]
-        bearings, points = [], []
-        occupied = set()
         if sparse:
             by_pos = _features_by_position(features, geometry)
-            items = [
-                (np.array([px[0] * sx, px[1] * sy]),
-                 np.array([pos[0], pos[1], 0.0])
-                 * geometry.cell_length_in_meters)
-                for pos, px in by_pos.items()
-            ]
+            if not by_pos:
+                return np.zeros((0, 3)), np.zeros((0, 3))
+            px_arr = np.array(
+                [[px[0] * sx, px[1] * sy] for px in by_pos.values()]
+            )
+            pat_arr = np.array(
+                [[pos[0], pos[1], 0.0] for pos in by_pos.keys()]
+            ) * geometry.cell_length_in_meters
         else:
             pts, valid = self._dense_pattern_matches(
                 imageset_index, geometry_index
             )
             ys, xs = np.nonzero(valid)
-            items = [
-                (np.array([x + 0.5, y + 0.5]), pts[y, x])
-                for y, x in zip(ys, xs)
-            ]
+            if ys.size == 0:
+                return np.zeros((0, 3)), np.zeros((0, 3))
+            px_arr = np.stack([xs + 0.5, ys + 0.5], -1)
+            pat_arr = pts[ys, xs]
+        bearings_all, valid_all = self._calibrated_bearings(px_arr)
         cell = self.opts.localization_cell_px
-        for px_buf, pat in items:
-            key = (int(px_buf[0]) // cell, int(px_buf[1]) // cell)
-            if not sparse:
-                if key in occupied:
-                    continue
-            bearing = self._calibrated_bearing(px_buf)
-            if bearing is None:
+        keep = np.zeros(px_arr.shape[0], bool)
+        occupied = set()
+        for i in range(px_arr.shape[0]):
+            key = (int(px_arr[i, 0]) // cell, int(px_arr[i, 1]) // cell)
+            if not sparse and key in occupied:
+                continue
+            if not valid_all[i]:
                 continue
             occupied.add(key)
-            if pose is not None:
-                r_kg, t_kg = pose
-                world = r_kg @ pat + t_kg
-            else:
-                world = pat
-            bearings.append(bearing)
-            points.append(world)
-        if not bearings:
+            keep[i] = True
+        if not keep.any():
             return np.zeros((0, 3)), np.zeros((0, 3))
-        return np.stack(bearings), np.stack(points)
+        bearings = bearings_all[keep]
+        pat = pat_arr[keep]
+        if pose is not None:
+            r_kg, t_kg = pose
+            world = pat @ r_kg.T + t_kg
+        else:
+            world = pat
+        return bearings, world
 
     def localize_image(self, imageset_index):
         """P3P-RANSAC localization against the current calibration.

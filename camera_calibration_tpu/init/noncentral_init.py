@@ -148,11 +148,23 @@ class NoncentralDenseInitializer:
     # ------------------------- accumulation -------------------------
 
     def _dense_pattern_matches(self, imageset_index, geometry_index):
+        """Identity-pose densified matches, memoized (pure function of
+        the imageset's features; the bootstrap loop re-requests the same
+        imagesets hundreds of times — see DenseInitializer)."""
+        cache = getattr(self, "_dpm_cache", None)
+        if cache is None:
+            cache = self._dpm_cache = {}
+        key = (imageset_index, geometry_index)
+        hit = cache.get(key)
+        if hit is not None:
+            return hit
         feats = self.dataset.imagesets[imageset_index].features[self.ci]
         geoms = [self.dataset.known_geometries[geometry_index]]
         poses = [(np.eye(3), np.zeros(3))]
-        return di.densify_matches(feats, geoms, poses, self.bsize,
-                                  self.image_size)
+        out = di.densify_matches(feats, geoms, poses, self.bsize,
+                                 self.image_size)
+        cache[key] = out
+        return out
 
     def _accumulate(self, pts_global, valid):
         """Add per-pixel 3D points (camera frame == global frame)."""

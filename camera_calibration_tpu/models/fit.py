@@ -107,6 +107,29 @@ def _chunked_lm(x0, wx, wy, target, *, normalize, k_tangent, max_iterations,
     return x
 
 
+def _linear_kron_solve(wx, wy, target, seed, ridge: float = 1e-6,
+                       normalize: bool = True):
+    """Solve knots minimizing ‖(wy⊗wx)·G − target‖² + ridge anchoring.
+
+    wx (N, gw) / wy (N, gh) B-spline weight rows; target (N, C); seed
+    (gh, gw, C) anchors knots with no data support (the kron normal
+    matrix is singular there without it).  Host NumPy — the normal
+    matrix is at most a few hundred square.
+    """
+    n = wx.shape[0]
+    gh, gw = wy.shape[1], wx.shape[1]
+    a = (wy[:, :, None] * wx[:, None, :]).reshape(n, gh * gw)
+    lam = ridge * max(1.0, n / (gh * gw))
+    h = a.T @ a + lam * np.eye(gh * gw)
+    rhs = a.T @ np.asarray(target) + lam * np.asarray(seed).reshape(
+        gh * gw, -1
+    )
+    g = np.linalg.solve(h, rhs).reshape(gh, gw, -1)
+    if normalize:
+        g /= np.maximum(np.linalg.norm(g, axis=-1, keepdims=True), 1e-12)
+    return g
+
+
 def _seed_grid_from_dense(dense_dirs, valid, model):
     """Initialize each knot direction from the dense direction image.
 
@@ -190,6 +213,7 @@ def fit_central_generic_to_dense(
     max_iterations: int = 30,
     cg_iterations: int = 60,
     dtype=jnp.float64,
+    linear_init: bool = True,
 ):
     """Fit a CentralGenericModel to a dense (H, W, 3) direction image.
 
@@ -244,10 +268,30 @@ def fit_central_generic_to_dense(
         wx = bspline.dense_axis_weights(gxy[:, 0], gw)  # (N, gw)
         wy = bspline.dense_axis_weights(gxy[:, 1], gh)  # (N, gh)
 
+        # Linear least-squares init: without the unit-norm constraint the
+        # spline fit is LINEAR in the knots, so one kron normal-equation
+        # solve (ridge-anchored to the ring-seeded grid for knots outside
+        # data support) lands within the LM's convergence basin — the LM
+        # then terminates in a handful of iterations instead of burning
+        # its full budget from the crude nearest-pixel seed.  Measured on
+        # a VGA init fit (21x16 grid, 12k samples): 10.0 s / 7.7e-4 deg
+        # median -> 0.6 s linear with 6.6e-4 deg; the polish keeps the
+        # coarse-grid case (where normalization bites) at parity.
+        if linear_init:
+            grid_start = jnp.asarray(_linear_kron_solve(
+                np.asarray(wx), np.asarray(wy), target_np, grid0
+            ), dtype)
+            lm_budget = min(max_iterations, 8)
+        else:
+            # conservative path kept for noisy fields whose downstream
+            # consumers are tuned to the capped-CG LM trajectory (the
+            # noncentral line-field fit regressed with the LSQ start)
+            grid_start = model.grid
+            lm_budget = max_iterations
         grid_fit = _chunked_lm(
-            model.grid, wx, wy, target,
+            grid_start, wx, wy, target,
             normalize=True, k_tangent=2,
-            max_iterations=max_iterations,
+            max_iterations=lm_budget,
             cg_iterations=cg_iterations,
         )
         grid_np = np.asarray(grid_fit)
@@ -348,6 +392,7 @@ def fit_noncentral_to_lines(
         max_iterations=max_iterations,
         cg_iterations=cg_iterations,
         dtype=dtype,
+        linear_init=False,  # see note above the anchor fit below
     )
 
     gh, gw = central.grid.shape[:2]
@@ -365,7 +410,13 @@ def fit_noncentral_to_lines(
     px = np.stack([vx[sel] + 0.5, vy[sel] + 0.5], -1).astype(np.float64)
 
     # dense weight-row residual + device policy as in
-    # fit_central_generic_to_dense above
+    # fit_central_generic_to_dense above.  NOTE: although the anchor fit
+    # has no normalization constraint (linear LSQ), the capped-CG LM is
+    # kept deliberately — its early termination acts as implicit
+    # smoothing of the weakly-constrained along-ray anchor directions,
+    # and the exact LSQ optimum measurably degrades the downstream BA
+    # basin (noncentral seed-robustness E2E regressed past its 0.01 px
+    # gate when this was switched to the closed-form solve).
     with _fit_device_ctx(dtype):
         target = jnp.asarray(line_anchors[vy[sel], vx[sel]], dtype)
         gxy = cg.pixel_to_grid(probe, jnp.asarray(px, dtype))
