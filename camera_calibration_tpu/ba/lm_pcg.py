@@ -135,6 +135,14 @@ class BAOptions:
     # (pcg_rel_tolerance 0.03, capped iterations), so only the CG
     # iterate path changes, never what "converged" means.
     cg_jacobian_dtype: str = "float32"
+    # λ update rule. "halve_double" is the reference's schedule
+    # (accept → λ/2, reject → λ×2, lm_optimizer.h:993-1011).
+    # "gain_ratio" is the Nielsen/Madsen schedule: the accept-side
+    # factor adapts to ρ = actual/predicted cost reduction
+    # (λ ← λ·max(1/3, 1−(2ρ−1)³)), which can cut iterations-to-converge
+    # when the quadratic model is locally accurate.  Measured on the
+    # bench problem (see RESULTS.md round 5) and kept as an option.
+    lambda_schedule: str = "halve_double"
 
 
 @dataclasses.dataclass
@@ -1119,9 +1127,25 @@ def lm_step(state, warm_xy, lam, data, options: BAOptions, blocks=None,
     warm = jax.tree_util.tree_map(
         lambda a, b_: jnp.where(accept, b_, a), warm_xy, warm2
     )
-    lam = jnp.maximum(
-        jnp.where(accept, 0.5 * lam, 2.0 * lam), options.lambda_min
-    )
+    if options.lambda_schedule == "gain_ratio":
+        # ρ = actual/predicted reduction with the standard LM prediction
+        # L(0) − L(δ) = ½ δᵀ(λδ − g) (Madsen/Nielsen eq. 3.14); the
+        # paired sums are the costs the accept decision compares.
+        pred = 0.5 * _tree_dot(
+            delta, _tree_map2(lambda d, g: lam * d - g, delta, grad)
+        )
+        rho = (old_sum - new_sum) / jnp.maximum(pred, 1e-30)
+        fac = jnp.maximum(
+            jnp.asarray(1.0 / 3.0, lam.dtype),
+            1.0 - (2.0 * rho - 1.0) ** 3,
+        )
+        lam = jnp.maximum(
+            jnp.where(accept, lam * fac, 2.0 * lam), options.lambda_min
+        )
+    else:
+        lam = jnp.maximum(
+            jnp.where(accept, 0.5 * lam, 2.0 * lam), options.lambda_min
+        )
     # Rejected steps overshot (λ doubles): zero the warm-start carry so
     # the retry solves the damped system from scratch.
     delta = jax.tree_util.tree_map(

@@ -504,3 +504,29 @@ def test_four_camera_rig_ba_reconverges():
         ctr_gt = -r_gt.T @ np.asarray(state_gt.cam_t_rig[c])
         dt = np.linalg.norm(r0.T @ ctr_rec - ctr_gt)
         assert dt < 1e-3, (c, dt, scale)
+
+
+def test_gain_ratio_lambda_schedule_converges():
+    """The Nielsen gain-ratio λ schedule (BAOptions.lambda_schedule)
+    reaches the same optimum as the reference's halve/double rule and
+    actually changes the damping trajectory."""
+    import jax.numpy as jnp
+
+    state_gt, obs, segments = ba_harness.make_problem(
+        seed=3, n_points=60, n_poses=12, noise_px=0.3
+    )
+    state0 = ba_harness.perturb_state(state_gt, seed=4)
+    finals, lams = [], []
+    for sched in ("halve_double", "gain_ratio"):
+        opts = lm_pcg.BAOptions(
+            max_lm_iterations=40, max_pcg_iterations=40,
+            cost_reduction_threshold=1e-9, solver="schur",
+            lambda_schedule=sched,
+        )
+        _, info = lm_pcg.optimize(state0, None, None, opts, data=(obs,))
+        finals.append(info["final_cost"])
+        step = lm_pcg.make_lm_scan(opts, 3)
+        out = step(state0, (obs.pixel,), jnp.asarray(-1.0), (obs,))
+        lams.append(float(out[2]))
+    assert abs(finals[0] - finals[1]) / finals[0] < 1e-6, finals
+    assert lams[0] != lams[1], lams  # the schedule is actually live
