@@ -28,6 +28,28 @@ def configure_precision() -> None:
         jax.config.update("jax_default_matmul_precision", "highest")
 
 
+def configure_platforms() -> None:
+    """Restore JAX_PLATFORMS semantics under plugin sitecustomizes.
+
+    On hosts whose interpreter startup registers an accelerator plugin
+    and pins ``jax_platforms`` itself, the JAX_PLATFORMS environment
+    variable set by a *parent process* is silently ignored — observed
+    here: ``JAX_PLATFORMS=cpu python -c "import jax; jax.devices()"``
+    still initialized (and, with the accelerator tunnel down, hung on)
+    the plugin backend, while the config-flag route worked.  Pushing the
+    env value into the config flag before first backend use makes the
+    documented env contract hold for every consumer of this package
+    (subprocess tests rely on it).  A no-op when the env var is unset or
+    already matches.
+    """
+    p = os.environ.get("JAX_PLATFORMS")
+    if p:
+        try:
+            jax.config.update("jax_platforms", p)
+        except Exception:  # backends already initialized — too late
+            pass
+
+
 def configure_compilation_cache(entry_point: bool = False) -> None:
     """Persistent XLA compilation cache (explicit opt-in).
 
@@ -110,5 +132,6 @@ def effective_backend() -> str:
     return jax.default_backend()
 
 
+configure_platforms()
 configure_precision()
 configure_compilation_cache()  # no-op unless CCTPU_JAX_CACHE opts in
