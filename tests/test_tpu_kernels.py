@@ -137,6 +137,17 @@ def test_pallas_kernels_match_xla_on_tpu(tmp_path):
     """Both chip halves, sequential (the tunneled chip is single-user):
     fast window-kernel equivalence, then the full-LM-step comparison —
     each in its own subprocess with its own generous timeout."""
+    # cheap reachability probe: a registered-but-unreachable tunnel hangs
+    # backend init forever (observed during a multi-hour tunnel outage);
+    # that is an environment condition, not a kernel regression
+    try:
+        _run_worker(
+            tmp_path, "worker_probe.py",
+            "import jax\njax.default_backend()\nprint('PROBE_OK')\n", 90,
+        )
+    except subprocess.TimeoutExpired:
+        pytest.skip("TPU registered but unreachable (tunnel down)")
+
     r = _run_worker(tmp_path, "worker_kernels.py", _WORKER_KERNELS, 700)
     if "NO_TPU" in r.stdout:
         pytest.skip("no TPU attached")
