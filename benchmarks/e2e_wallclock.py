@@ -102,6 +102,7 @@ options = cal.CalibrateOptions(
     lm_steps_per_call=5,
     polish_iterations=0,
 )
+cal.prewarm_pyramid_executables(state, data, options)
 for level in range(options.num_pyramid_levels - 1, 0, -1):
     state, _ = cal.run_ba(state, data, options.pyramid_iterations[0], 1e-4,
                           options)

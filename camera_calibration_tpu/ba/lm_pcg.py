@@ -1233,6 +1233,28 @@ def _lm_step_two_pass(state, warm_xy, lam, data, options: BAOptions):
 import functools
 
 
+# BAOptions fields read ONLY by the host driver loop (optimize()) or by
+# host-side table preparation — never inside traced code.  Canonicalizing
+# them before keying the jit caches lets every threshold/iteration-budget
+# variant of an optimization share one trace and one compiled executable
+# (measured: each needless variant cost ~3-14 s of retrace + executable
+# load on the remote TPU runtime, per pyramid level).
+_HOST_ONLY_FIELDS = dict(
+    max_lm_iterations=0,
+    cost_reduction_threshold=0.0,
+    max_consecutive_rejects=0,
+    debug_verify=False,
+    table_layout="auto",
+    grid_layout_max_expand=0.0,
+    profile_dir=None,
+    lm_steps_per_call=0,
+)
+
+
+def _graph_options(options: BAOptions) -> BAOptions:
+    return dataclasses.replace(options, **_HOST_ONLY_FIELDS)
+
+
 @functools.lru_cache(maxsize=64)
 def _cached_lm_step(options: BAOptions):
     return jax.jit(
@@ -1246,7 +1268,7 @@ def make_lm_step(options: BAOptions, jit: bool = True):
     repeated optimize() calls (pyramid levels, tests) reuse traces and
     compiled executables instead of rebuilding a fresh jit wrapper."""
     if jit:
-        return _cached_lm_step(options)
+        return _cached_lm_step(_graph_options(options))
     return lambda state, warm, lam, data: lm_step(state, warm, lam, data,
                                                   options)
 
@@ -1278,7 +1300,8 @@ def make_lm_scan(options: BAOptions, n_steps: int, jit: bool = True):
         )
         return state, warm, lam, outs
 
-    return _cached_scan_jit(options, n_steps) if jit else scanned
+    return _cached_scan_jit(_graph_options(options), n_steps) if jit \
+        else scanned
 
 
 @functools.lru_cache(maxsize=64)
@@ -1347,6 +1370,36 @@ def protocol_intrinsics_tangent_shape(model):
     from camera_calibration_tpu.models import protocol
 
     return protocol.intrinsics_tangent_zero(model).shape
+
+
+def prewarm(state: BAState, data, options: BAOptions = BAOptions()):
+    """AOT-prepare the LM step executable for this problem's shapes.
+
+    Traces, lowers, and compiles (or loads from the persistent XLA
+    cache) the exact executable a later ``optimize(state, ..., data=
+    data, options=options)`` call will dispatch, without running any
+    optimization.  On the remote TPU runtime each new shape costs
+    ~3 s trace + ~10 s executable load; calling this from a background
+    thread overlaps that with host-side pipeline phases (the analog of
+    the reference being an ahead-of-time compiled binary).  Thread-safe;
+    failures are swallowed — prewarming is only ever an optimization.
+    """
+    try:
+        was_auto = options.solver == "auto"
+        options = resolve_solver(options, state)
+        data = maybe_grid_layout(data, state, options)
+        if (was_auto and options.solver.startswith("schur_direct")
+                and not all(seg.grid_shape is not None for seg in data)):
+            options = dataclasses.replace(options, solver="schur")
+        k = max(1, int(options.lm_steps_per_call))
+        fn = make_lm_scan(options, k) if k > 1 else make_lm_step(options)
+        warm = tuple(seg.pixel for seg in data)
+        lam = jax.ShapeDtypeStruct((), np.dtype(state.points.dtype))
+        fn.lower(state, warm, lam, data).compile()
+    except Exception:  # pragma: no cover - diagnostics only
+        import logging
+
+        logging.getLogger(__name__).debug("prewarm failed", exc_info=True)
 
 
 def optimize(

@@ -422,18 +422,49 @@ def resample_models_if_necessary(state: BAState, model_kind: str,
     )
 
 
+import functools
+
+import jax
+
+
+@functools.partial(jax.jit, static_argnums=2)
+def _reproj_errors_jit(state, seg, ci):
+    x_cam, _ = transform_to_camera(
+        state, seg.imageset, seg.camera, state.points[seg.point]
+    )
+    px, _, pvalid = protocol.project_points(
+        state.intrinsics[ci], x_cam, init_xy=seg.pixel, max_iterations=30
+    )
+    e = jnp.linalg.norm(px - seg.pixel, axis=-1)
+    return jnp.where(pvalid & seg.valid, e, jnp.inf)
+
+
 def observation_reprojection_errors(state: BAState, data):
-    """Per-camera arrays of reprojection error magnitudes (inf = invalid)."""
+    """Per-camera arrays of reprojection error magnitudes (inf = invalid).
+
+    One jitted program per camera, pinned to the local CPU backend: run
+    eagerly on the remote accelerator this was ~26 s of op-by-op remote
+    dispatches per pipeline (the work itself is milliseconds); as a CPU
+    jit it compiles locally once per shape and reruns free for the
+    outlier pass, the live visualizer, and the report.
+    """
+    from camera_calibration_tpu.config import host_device_ctx
+
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+    except (RuntimeError, IndexError):
+        cpu = None
     errs = []
-    for ci, seg in enumerate(data):
-        x_cam, _ = transform_to_camera(
-            state, seg.imageset, seg.camera, state.points[seg.point]
-        )
-        px, _, pvalid = protocol.project_points(
-            state.intrinsics[ci], x_cam, init_xy=seg.pixel, max_iterations=30
-        )
-        e = jnp.linalg.norm(px - seg.pixel, axis=-1)
-        errs.append(jnp.where(pvalid & seg.valid, e, jnp.inf))
+    # host_device_ctx makes effective_backend() report "cpu" while the
+    # projection traces, so the model picks its XLA path (the Pallas
+    # kernels only lower for TPU).
+    with host_device_ctx():
+        for ci, seg in enumerate(data):
+            st, sg = state, seg
+            if cpu is not None:
+                st = jax.device_put(state, cpu)
+                sg = jax.device_put(seg, cpu)
+            errs.append(_reproj_errors_jit(st, sg, ci))
     return errs
 
 
@@ -599,9 +630,8 @@ def polish_float64(state, data, options: CalibrateOptions,
     return state64, data64, info
 
 
-def run_ba(state, data, max_iterations, cost_reduction_threshold, options,
-           callback=None, state_saver=None):
-    ba_opts = lm_pcg.BAOptions(
+def _ba_options(options, max_iterations, cost_reduction_threshold):
+    return lm_pcg.BAOptions(
         max_lm_iterations=max_iterations,
         max_pcg_iterations=options.max_pcg_iterations,
         huber_px=options.huber_px,
@@ -613,6 +643,81 @@ def run_ba(state, data, max_iterations, cost_reduction_threshold, options,
         solver=options.solver,
         block_chunk=options.block_chunk,
     )
+
+
+def prewarm_pyramid_executables(state, data, options, full_res=None):
+    """Start a daemon thread AOT-preparing the finer pyramid levels' BA
+    executables while the coarse levels run.
+
+    Each new grid resolution's LM-step program costs ~3 s of tracing +
+    ~10 s of executable load on the remote TPU runtime; serial in the
+    pipeline this was most of the BA wall clock (the steps themselves
+    take ~0.2 s/level).  Values in the prewarmed state are irrelevant —
+    only shapes/dtypes reach the compiler.  Returns the started thread,
+    or None when there is nothing to prewarm.
+    """
+    import threading
+
+    grid_cameras = [
+        ci for ci, m in enumerate(state.intrinsics) if protocol.is_grid_model(m)
+    ]
+    pyramid_levels = (
+        0 if "intrinsics" in options.freeze else options.num_pyramid_levels
+    )
+    if pyramid_levels <= 1 or not grid_cameras:
+        return None
+    import jax as _jax
+
+    # The latency worth hiding is the REMOTE runtime's executable
+    # load; a local CPU backend compiles at first call anyway, and
+    # background compiles would only contend with the host pipeline
+    # (and every CPU-forced test) for cores.
+    if _jax.default_backend() == "cpu":
+        return None
+
+    for seg in data:  # sharded tables choose their own layout; skip
+        for leaf in _jax.tree_util.tree_leaves(seg):
+            if hasattr(leaf, "devices") and len(leaf.devices()) > 1:
+                return None
+    if full_res is None:
+        full_res = {}
+        for ci in grid_cameras:
+            m = state.intrinsics[ci]
+            full_res[ci] = compute_grid_resolution(
+                m.calibration_max_x + 1 - m.calibration_min_x,
+                m.calibration_max_y + 1 - m.calibration_min_y,
+                options.approx_pixels_per_cell,
+            )
+    state0 = state
+    ba_opts = _ba_options(options, options.pyramid_iterations[0], 1e-4)
+
+    def run():
+        for level in range(pyramid_levels - 2, -1, -1):
+            try:
+                intr = list(state0.intrinsics)
+                for ci in grid_cameras:
+                    rx, ry = grid_resolution_for_level(level, *full_res[ci])
+                    intr[ci] = resample_grid_model(intr[ci], (rx, ry))
+                st = BAState(
+                    rig_q_global=state0.rig_q_global,
+                    rig_t_global=state0.rig_t_global,
+                    cam_q_rig=state0.cam_q_rig,
+                    cam_t_rig=state0.cam_t_rig,
+                    points=state0.points,
+                    intrinsics=tuple(intr),
+                )
+                lm_pcg.prewarm(st, data, ba_opts)
+            except Exception:  # prewarming is only ever an optimization
+                pass
+
+    t = threading.Thread(target=run, daemon=True, name="cctpu-ba-prewarm")
+    t.start()
+    return t
+
+
+def run_ba(state, data, max_iterations, cost_reduction_threshold, options,
+           callback=None, state_saver=None):
+    ba_opts = _ba_options(options, max_iterations, cost_reduction_threshold)
 
     def cb(entry, st):
         if callback is not None:
@@ -697,6 +802,7 @@ def calibrate(
     pyramid_levels = (
         0 if "intrinsics" in options.freeze else options.num_pyramid_levels
     )
+    prewarm_pyramid_executables(state, data, options, full_res=full_res)
     for level in range(pyramid_levels - 1, 0, -1):
         log(f"[calibrate] pyramid level {level}")
         state, info1 = run_ba(

@@ -43,11 +43,33 @@ def configure_platforms() -> None:
     already matches.
     """
     p = os.environ.get("JAX_PLATFORMS")
-    if p:
-        try:
-            jax.config.update("jax_platforms", p)
-        except Exception:  # backends already initialized — too late
-            pass
+    if not p:
+        return
+    cur = (jax.config.jax_platforms or "")
+    cur_first = cur.split(",")[0].strip() if cur else ""
+    # A process that already pinned the CPU platform first (the test
+    # conftest, virtual-mesh dryruns) made an explicit in-process choice
+    # AFTER the plugin boot; a machine-wide JAX_PLATFORMS value must not
+    # override it.  Everything else is the plugin's own pin, where the
+    # env contract should hold.
+    if cur_first == "cpu":
+        return
+    # Keep a CPU backend available at lowest priority: the host phases
+    # (f64 polish, CPU-pinned init/fit solves) require
+    # jax.local_devices(backend="cpu"), and an accelerator-only platform
+    # pin (e.g. JAX_PLATFORMS=axon set machine-wide) would silently drop
+    # them to degraded paths.  The default backend is still the first
+    # platform named by the env var.
+    platforms = [s.strip() for s in p.split(",") if s.strip()]
+    if "cpu" not in platforms:
+        platforms.append("cpu")
+    joined = ",".join(platforms)
+    if joined == cur:
+        return
+    try:
+        jax.config.update("jax_platforms", joined)
+    except Exception:  # backends already initialized — too late
+        pass
 
 
 def configure_compilation_cache(entry_point: bool = False) -> None:

@@ -172,7 +172,7 @@ def build_ba_state(
         if not used[i]:
             continue
         r, t = dense_results[0].image_tr_global[i]
-        rig_q[i] = np.asarray(se3.matrix_to_quat(jnp.asarray(r)))
+        rig_q[i] = se3.matrix_to_quat_np(r)
         rig_t[i] = t
 
     # camera_tr_rig via SE(3) averaging (reference: calibration.cc:885-911).
@@ -188,11 +188,14 @@ def build_ba_state(
             # camera_tr_rig = image_tr_global[c] ∘ (image_tr_global[0])⁻¹
             r_rel = r_c @ r_0.T
             t_rel = t_c - r_rel @ t_0
-            qs.append(np.asarray(se3.matrix_to_quat(jnp.asarray(r_rel))))
+            qs.append(se3.matrix_to_quat_np(r_rel))
             ts.append(t_rel)
         if qs:
-            qa, ta = se3.average_se3(jnp.asarray(np.stack(qs)),
-                                     jnp.asarray(np.stack(ts)))
+            from camera_calibration_tpu.config import host_device_ctx
+
+            with host_device_ctx():
+                qa, ta = se3.average_se3(jnp.asarray(np.stack(qs)),
+                                         jnp.asarray(np.stack(ts)))
             cam_q[c] = np.asarray(qa)
             cam_t[c] = np.asarray(ta)
 

@@ -140,7 +140,10 @@ def _seed_grid_from_dense(dense_dirs, valid, model):
     """
     h, w = valid.shape
     gh, gw = model.grid_height, model.grid_width
-    knot_px = np.asarray(cg.grid_point_pixels(model))
+    # host-pinned: these tiny eager ops otherwise dispatch (and compile)
+    # on the remote accelerator at ~0.25 s each (measured 5.1 s/fit)
+    with _host_device_ctx():
+        knot_px = np.asarray(cg.grid_point_pixels(model))
     grid = np.zeros((gh, gw, 3), np.float64)
     filled = np.zeros((gh, gw), bool)
 
@@ -305,7 +308,8 @@ def _seed_values_from_dense(dense_vals, valid, model):
     neighbor-mean extrapolation, no normalization)."""
     h, w = valid.shape
     gh, gw = model.grid_height, model.grid_width
-    knot_px = np.asarray(cg.grid_point_pixels(model))
+    with _host_device_ctx():
+        knot_px = np.asarray(cg.grid_point_pixels(model))
     grid = np.zeros((gh, gw, dense_vals.shape[-1]), np.float64)
     filled = np.zeros((gh, gw), bool)
     for gy in range(gh):

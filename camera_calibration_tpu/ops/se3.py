@@ -86,6 +86,35 @@ def matrix_to_quat(m):
     return quat_normalize(q)
 
 
+def matrix_to_quat_np(m):
+    """NumPy mirror of :func:`matrix_to_quat` for host orchestration loops.
+
+    Small per-image pose conversions run in plain NumPy: each eager jnp
+    call on a remote-accelerator default backend costs a ~0.4 s remote
+    dispatch/compile, which dominated build_ba_state (measured 8.4 s of
+    a 24 s phase for 20 images).
+    """
+    import numpy as np
+
+    m = np.asarray(m, np.float64)
+    m00, m01, m02 = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
+    m10, m11, m12 = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
+    m20, m21, m22 = m[..., 2, 0], m[..., 2, 1], m[..., 2, 2]
+    qw = np.stack([1 + m00 + m11 + m22, m21 - m12, m02 - m20, m10 - m01], -1)
+    qx = np.stack([m21 - m12, 1 + m00 - m11 - m22, m01 + m10, m02 + m20], -1)
+    qy = np.stack([m02 - m20, m01 + m10, 1 - m00 + m11 - m22, m12 + m21], -1)
+    qz = np.stack([m10 - m01, m02 + m20, m12 + m21, 1 - m00 - m11 + m22], -1)
+    cands = np.stack([qw, qx, qy, qz], axis=-2)
+    scores = np.stack(
+        [1 + m00 + m11 + m22, 1 + m00 - m11 - m22,
+         1 - m00 + m11 - m22, 1 - m00 - m11 + m22], -1)
+    best = np.argmax(scores, axis=-1)
+    q = np.take_along_axis(
+        cands, best[..., None, None].repeat(4, -1), axis=-2
+    )[..., 0, :]
+    return q / np.linalg.norm(q, axis=-1, keepdims=True)
+
+
 def quat_exp(u):
     """Exp map: tangent (...,3) -> unit quaternion rotating by angle |u|.
 
